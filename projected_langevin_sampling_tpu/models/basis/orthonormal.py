@@ -1,0 +1,199 @@
+"""Orthonormal (KKL eigen-) basis. Reference ``basis/orthonormal.py:10-244``.
+
+Build time (host, once — the O(M^3) step of reference §3.5):
+  * eigh((1/M) k(Z,Z)), drop eigenpairs with eigenvalue <= threshold
+    (data-dependent M_k is resolved HERE so every jitted shape is static);
+  * scaled eigenvectors  Vt = V / sqrt(M_k * lambda)            (M, M_k)
+  * train projection     B  = k(Z,X)^T @ Vt                     (N, M_k)
+
+Hot loop (pure, jittable — two MXU matmuls + VPU elementwise):
+  * train predictions    F  = B @ U                             (N, J)
+  * particle update      dU = -eta B^T dc(F) - eta U/lambda + sqrt(2 eta) eps,
+    eps ~ N(0, I) drawn iid (the reference runs a full eigh of the *identity*
+    for this every step, ``orthonormal.py:140-145`` — same distribution).
+"""
+
+from __future__ import annotations
+
+
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from projected_langevin_sampling_tpu.models.basis.base import PLSBasisMixin
+from projected_langevin_sampling_tpu.ops.kernels import PLSKernel, ard_gram
+from projected_langevin_sampling_tpu.ops.linalg import sample_multivariate_normal
+from projected_langevin_sampling_tpu.utils.prng import KeyArray, as_key
+
+Array = jax.Array
+
+
+@flax.struct.dataclass
+class OrthonormalBasis(PLSBasisMixin):
+    kernel: PLSKernel
+    x_induce: Array  # (M, D)
+    eigenvalues: Array  # (M_k,)
+    scaled_eigenvectors: Array  # (M, M_k)
+    base_gram_induce_train: Array  # k(Z, X), (M, N)
+    train_projection: Array  # B = k(Z,X)^T @ Vt, (N, M_k)
+    additional_predictive_noise_distribution: object | None = flax.struct.field(
+        pytree_node=False, default=None
+    )
+
+    @property
+    def approximation_dimension(self) -> int:
+        """M_k — number of kept eigenpairs (reference ``orthonormal.py:70-76``)."""
+        return self.eigenvalues.shape[0]
+
+    @property
+    def dtype(self):
+        return self.eigenvalues.dtype
+
+    # --- particle initialisation -------------------------------------------
+    def _initialise_particles(
+        self,
+        number_of_particles: int,
+        noise_only: bool = True,
+        key: KeyArray | int | None = None,
+    ) -> Array:
+        if not noise_only:
+            raise ValueError("For ONB base, noise_only must be True.")
+        return self._initialise_particles_noise(
+            number_of_particles=number_of_particles, key=key
+        )
+
+    # --- hot loop ------------------------------------------------------------
+    def calculate_untransformed_train_prediction_samples(self, particles: Array) -> Array:
+        """F = k(X,Z) Vt U = B @ U, (N, J) (reference ``orthonormal.py:98-108``)."""
+        return self.train_projection @ particles
+
+    def calculate_energy_potential(self, particles: Array, cost: Array) -> Array:
+        """mean_j [ cost_j + 1/2 U_j^T Lambda^{-1} U_j ] (``orthonormal.py:110-126``)."""
+        prior = 0.5 * jnp.sum(
+            jnp.square(particles) / self.eigenvalues[:, None], axis=0
+        )
+        return jnp.mean(cost + prior)
+
+    def sample_update_noise(self, number_of_particles: int, key: KeyArray) -> Array:
+        """eps ~ N(0, I_{M_k}) — identical in distribution to the reference's
+        eigh-of-identity sampling (``orthonormal.py:140-145``)."""
+        return jax.random.normal(
+            key, (self.approximation_dimension, number_of_particles), dtype=self.dtype
+        )
+
+    def _calculate_particle_update(
+        self,
+        particles: Array,
+        cost_derivative: Array,
+        step_size: float,
+        noise: Array,
+    ) -> Array:
+        """-eta Vt^T k(Z,X) dc - eta Lambda^{-1} U + sqrt(2 eta) eps
+        (reference ``orthonormal.py:128-159``)."""
+        drift_data = self.train_projection.T @ cost_derivative  # (M_k, J)
+        drift_prior = particles / self.eigenvalues[:, None]
+        return (
+            -step_size * drift_data
+            - step_size * drift_prior
+            + jnp.sqrt(2.0 * jnp.asarray(step_size, dtype=noise.dtype)) * noise
+        )
+
+    # --- prediction (cold path) ----------------------------------------------
+    def sample_predictive_noise(
+        self,
+        particles: Array,
+        x: Array,
+        key: KeyArray | int | None = None,
+    ) -> Array:
+        """Joint MVN draw over [basis coefficients; test function values]
+        with the Z-union-x augmentation (reference ``orthonormal.py:161-214``)."""
+        key = as_key(key)
+        # r(x, x) with augmented approximation samples for OOD fidelity
+        gram_x = self.kernel.forward(x1=x, x2=x, additional_approximation_samples=x)
+        base_gram_x_induce = ard_gram(self.kernel.base_kernel, x, self.x_induce)
+        off_diagonal_block = (
+            base_gram_x_induce @ self.scaled_eigenvectors * self.eigenvalues[None, :]
+        )  # (N*, M_k) == k(x,Z) Vt diag(lambda)
+        lam = jnp.diag(self.eigenvalues)
+        noise_covariance = jnp.block(
+            [[lam, off_diagonal_block.T], [off_diagonal_block, gram_x]]
+        )  # (M_k + N*, M_k + N*)
+        key, subkey = jax.random.split(key)
+        predictive_noise = sample_multivariate_normal(
+            subkey,
+            mean=jnp.zeros(noise_covariance.shape[0], dtype=self.dtype),
+            cov=noise_covariance,
+            size=(particles.shape[1],),
+        ).T  # (M_k + N*, J)
+        extra = self._sample_additional_predictive_noise(key, predictive_noise.shape)
+        if extra is not None:
+            predictive_noise = predictive_noise + extra
+        return predictive_noise
+
+    def predict_untransformed_samples(
+        self,
+        particles: Array,
+        x: Array,
+        noise: Array | None = None,
+        key: KeyArray | int | None = None,
+    ) -> Array:
+        """Matheron pathwise conditioning: noise_x + k(x,Z) Vt (U - noise_Z)
+        (reference ``orthonormal.py:216-244``)."""
+        base_gram_x_induce = ard_gram(self.kernel.base_kernel, x, self.x_induce)
+        if noise is None:
+            noise = self.sample_predictive_noise(particles=particles, x=x, key=key)
+        m_k = self.approximation_dimension
+        return noise[m_k:, :] + base_gram_x_induce @ (
+            self.scaled_eigenvectors @ (particles - noise[:m_k, :])
+        )
+
+
+def build_orthonormal_basis(
+    kernel: PLSKernel,
+    x_induce: Array,
+    x_train: Array,
+    eigenvalue_threshold: float = 0.0,
+    additional_predictive_noise_distribution: object | None = None,
+    verbose: bool = True,
+) -> OrthonormalBasis:
+    """Host-side constructor — the O(M^3) step (reference ``orthonormal.py:22-68``).
+
+    The eigh and data-dependent eigenvalue thresholding happen eagerly here so
+    that M_k is a static shape for everything downstream.
+    """
+    import numpy as np
+
+    x_induce = jnp.asarray(x_induce)
+    if x_induce.ndim == 1:
+        x_induce = x_induce[:, None]
+    x_train = jnp.asarray(x_train)
+    if x_train.ndim == 1:
+        x_train = x_train[:, None]
+
+    m = x_induce.shape[0]
+    base_gram_induce = ard_gram(kernel.base_kernel, x_induce, x_induce)  # (M, M)
+    base_gram_induce_train = ard_gram(kernel.base_kernel, x_induce, x_train)  # (M, N)
+
+    eigenvalues, eigenvectors = np.linalg.eigh(np.asarray(base_gram_induce) / m)
+    keep = np.where(eigenvalues > eigenvalue_threshold)[0]
+    eigenvalues = eigenvalues[keep]
+    eigenvectors = eigenvectors[:, keep]
+    if verbose:
+        print(f"Number of eigenvalues kept: {eigenvalues.shape[0]} out of {m}")
+
+    m_k = eigenvalues.shape[0]
+    scaled_eigenvectors = eigenvectors / np.sqrt(m_k * eigenvalues)[None, :]  # (M, M_k)
+    scaled_eigenvectors = jnp.asarray(scaled_eigenvectors, dtype=base_gram_induce.dtype)
+    eigenvalues = jnp.asarray(eigenvalues, dtype=base_gram_induce.dtype)
+    train_projection = base_gram_induce_train.T @ scaled_eigenvectors  # (N, M_k)
+
+    return OrthonormalBasis(
+        kernel=kernel,
+        x_induce=x_induce,
+        eigenvalues=eigenvalues,
+        scaled_eigenvectors=scaled_eigenvectors,
+        base_gram_induce_train=base_gram_induce_train,
+        train_projection=train_projection,
+        additional_predictive_noise_distribution=additional_predictive_noise_distribution,
+    )

@@ -1,0 +1,173 @@
+"""PLS facade — the public model object.
+
+Mirrors the reference orchestrator
+(``src/projected_langevin_sampling/projected_langevin_sampling.py:7-204``):
+a thin delegation layer over a pluggable basis and cost. The facade itself is
+a plain mutable Python object for ergonomics (the reference mutates
+``observation_noise`` in the experiment harness); all computation happens in
+the pure methods of the basis/cost pytrees, so the hot loop in
+``training.py`` works directly on ``(pls.basis, pls.cost)`` under jit.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from projected_langevin_sampling_tpu.models.basis.base import PLSBasisMixin
+from projected_langevin_sampling_tpu.models.costs.base import PLSCostMixin
+from projected_langevin_sampling_tpu.utils.prng import KeyArray, as_key
+
+Array = jax.Array
+
+
+class PLS:
+    """Projected Langevin Sampling model.
+
+    N: number of training points; M: approximation dimension;
+    J: number of particles; D: input dimension.
+    """
+
+    def __init__(self, basis: PLSBasisMixin, cost: PLSCostMixin, name: str | None = None):
+        self.basis = basis
+        self.cost = cost
+        self.name: str = name if name is not None else "pls"
+
+    # --- observation noise proxy (reference :29-33) -------------------------
+    @property
+    def observation_noise(self):
+        return getattr(self.cost, "observation_noise", None)
+
+    @observation_noise.setter
+    def observation_noise(self, value):
+        self.cost = self.cost.replace(observation_noise=jnp.asarray(value))
+
+    # --- initialisation ------------------------------------------------------
+    def initialise_particles(
+        self,
+        number_of_particles: int,
+        noise_only: bool = True,
+        key: KeyArray | int | None = None,
+        seed: int | None = None,
+    ) -> Array:
+        if key is None and seed is not None:
+            key = seed
+        return self.basis.initialise_particles(
+            number_of_particles=number_of_particles, noise_only=noise_only, key=key
+        )
+
+    def sample_observation_noise(
+        self, number_of_particles: int, key: KeyArray | int | None = None
+    ) -> Array:
+        return self.cost.sample_observation_noise(
+            number_of_particles=number_of_particles, key=key
+        )
+
+    def sample_predictive_noise(
+        self, particles: Array, x: Array, key: KeyArray | int | None = None
+    ) -> Array:
+        return self.basis.sample_predictive_noise(particles=particles, x=x, key=key)
+
+    # --- training-time quantities -------------------------------------------
+    def calculate_cost(self, particles: Array) -> Array:
+        """(J,) per-particle cost (reference :72-88)."""
+        samples = self.basis.calculate_untransformed_train_prediction_samples(particles)
+        return self.cost.calculate_cost(samples)
+
+    def calculate_cost_derivative(self, particles: Array) -> Array:
+        """(N, J) cost derivative at the current particles (reference :90-105)."""
+        samples = self.basis.calculate_untransformed_train_prediction_samples(particles)
+        return self.cost.calculate_cost_derivative(samples)
+
+    def calculate_particle_update(
+        self,
+        particles: Array,
+        step_size: float,
+        noise: Array | None = None,
+        key: KeyArray | int | None = None,
+    ) -> Array:
+        """(M, J) Langevin update (reference :107-123). ``noise``/``key``
+        control the diffusion term explicitly (JAX has no global PRNG)."""
+        cost_derivative = self.calculate_cost_derivative(particles)
+        return self.basis.calculate_particle_update(
+            particles=particles,
+            cost_derivative=cost_derivative,
+            step_size=step_size,
+            noise=noise,
+            key=key,
+        )
+
+    def calculate_energy_potential(self, particles: Array) -> float:
+        """Scalar mean energy (reference :125-138)."""
+        assert particles.shape[0] == self.basis.approximation_dimension, (
+            f"Particles have shape {particles.shape} but requires "
+            f"({self.basis.approximation_dimension}, J) dimension."
+        )
+        cost = self.calculate_cost(particles)
+        return self.basis.calculate_energy_potential(particles=particles, cost=cost)
+
+    # --- prediction -----------------------------------------------------------
+    def predict_samples(
+        self,
+        particles: Array,
+        x: Array,
+        predictive_noise: Array | None = None,
+        observation_noise: Array | None = None,
+        key: KeyArray | int | None = None,
+    ) -> Array:
+        """(N*, J) output-space samples (reference :140-163). Noise tensors may
+        be injected for deterministic parity testing."""
+        key = as_key(key)
+        key_pred, key_obs = jax.random.split(key)
+        untransformed = self.predict_untransformed_samples(
+            particles=particles, x=x, noise=predictive_noise, key=key_pred
+        )
+        return self.cost.predict_samples(
+            untransformed_samples=untransformed,
+            observation_noise=observation_noise,
+            key=key_obs,
+        )
+
+    def predict_untransformed_samples(
+        self,
+        particles: Array,
+        x: Array,
+        noise: Array | None = None,
+        key: KeyArray | int | None = None,
+    ) -> Array:
+        return self.basis.predict_untransformed_samples(
+            particles=particles, x=x, noise=noise, key=key
+        )
+
+    def predict(
+        self,
+        x: Array,
+        particles: Array,
+        predictive_noise: Array | None = None,
+        observation_noise: Array | None = None,
+        key: KeyArray | int | None = None,
+    ):
+        prediction_samples = self.predict_samples(
+            particles=particles,
+            x=x,
+            predictive_noise=predictive_noise,
+            observation_noise=observation_noise,
+            key=key,
+        )
+        return self.cost.predict(prediction_samples=prediction_samples)
+
+    def __call__(
+        self,
+        x: Array,
+        particles: Array,
+        predictive_noise: Array | None = None,
+        observation_noise: Array | None = None,
+        key: KeyArray | int | None = None,
+    ):
+        return self.predict(
+            x=x,
+            particles=particles,
+            predictive_noise=predictive_noise,
+            observation_noise=observation_noise,
+            key=key,
+        )

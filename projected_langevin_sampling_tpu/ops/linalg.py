@@ -1,0 +1,105 @@
+"""Numerics utilities: PSD factorisation, MVN sampling, solves.
+
+The reference's ``sample_multivariate_normal`` (``src/samplers.py:6-44``)
+runs ``torch.linalg.eigh`` on the covariance at EVERY call — including once
+per Langevin step inside the hot loop (``basis/orthonormal.py:141-145``,
+``basis/inducing_point.py:133-137``), where the covariance is constant (I or
+k(Z,Z)). The TPU-native design splits this into:
+
+  * ``psd_sqrt(cov)``    — factor once (eigh + clip negative eigenvalues,
+                           identical semantics to reference ``samplers.py:27-29``);
+  * ``sample_with_factor`` — cheap per-step sampling (one matmul + iid normals).
+
+``sample_multivariate_normal`` keeps the reference's one-shot convenience API
+for cold paths (predictive-noise sampling).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def psd_sqrt(cov: Array) -> Array:
+    """Symmetric factor S with S @ S.T == clip_psd(cov).
+
+    eigh + clip negative eigenvalues to zero, matching the reference's
+    workaround for non-PSD covariances (``samplers.py:27-29``).
+    """
+    eigenvalues, eigenvectors = jnp.linalg.eigh(cov)
+    eigenvalues = jnp.clip(eigenvalues, 0.0, None)
+    return eigenvectors * jnp.sqrt(eigenvalues)[None, :]
+
+
+def sample_with_factor(key: jax.Array, factor: Array, size: int, mean: Array | None = None) -> Array:
+    """Draw ``size`` MVN samples given a precomputed factor (M, M) -> (M, size)."""
+    z = jax.random.normal(key, (factor.shape[1], size), dtype=factor.dtype)
+    samples = factor @ z
+    if mean is not None:
+        samples = samples + mean[:, None]
+    return samples
+
+
+def sample_multivariate_normal(
+    key: jax.Array,
+    mean: Array,
+    cov: Array,
+    size: tuple[int, ...] | int | None = None,
+) -> Array:
+    """One-shot MVN sampling with negative-eigenvalue clipping.
+
+    Mirrors reference ``samplers.py:6-44``: returns shape (*size, M) — the
+    transpose convention of the torch version (samples in rows).
+    """
+    if size is None:
+        size = (1,)
+    if isinstance(size, int):
+        size = (size,)
+    factor = psd_sqrt(cov)
+    num = 1
+    for s in size:
+        num *= s
+    samples = sample_with_factor(key, factor, num, mean=mean)  # (M, num)
+    return samples.T.reshape(*size, mean.shape[0])
+
+
+def cholesky_factor(matrix: Array, jitter: float = 0.0) -> Array:
+    """Lower-Cholesky factor with optional diagonal jitter.
+
+    Replaces the reference's ``gpytorch.solve`` machinery
+    (``basis/inducing_point.py:89-93,130-132``): factor once at basis build,
+    reuse every step.
+    """
+    if jitter:
+        matrix = matrix + jitter * jnp.eye(matrix.shape[0], dtype=matrix.dtype)
+    return jnp.linalg.cholesky(matrix)
+
+
+def cholesky_solve(chol: Array, rhs: Array) -> Array:
+    """Solve A x = rhs given lower Cholesky factor of A."""
+    y = jax.scipy.linalg.solve_triangular(chol, rhs, lower=True)
+    return jax.scipy.linalg.solve_triangular(chol.T, y, lower=False)
+
+
+def robust_cholesky(matrix: Array, max_tries: int = 6, initial_jitter: float | None = None):
+    """Cholesky with escalating jitter, mirroring gpytorch's psd_safe_cholesky
+    behaviour that the reference leans on implicitly via ``gpytorch.solve``.
+
+    Host-side (concrete arrays): runs at basis-build time only.
+    Returns (chol, jitter_used).
+    """
+    import numpy as np
+
+    m = np.asarray(matrix)
+    if initial_jitter is None:
+        initial_jitter = float(np.finfo(m.dtype).eps) * float(np.mean(np.diag(m)))
+    jitter = 0.0
+    for attempt in range(max_tries + 1):
+        try:
+            chol = np.linalg.cholesky(m + jitter * np.eye(m.shape[0], dtype=m.dtype))
+            return jnp.asarray(chol), jitter
+        except np.linalg.LinAlgError:
+            jitter = initial_jitter * (10.0 ** attempt) if attempt else initial_jitter
+    raise ValueError(f"Matrix not PSD even with jitter={jitter}")

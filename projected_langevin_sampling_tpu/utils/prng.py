@@ -1,0 +1,43 @@
+"""PRNG plumbing for the TPU-native PLS framework.
+
+The PyTorch reference threads reproducibility through global seeds
+(``src/utils.py:8-22``) and per-call ``torch.Generator`` objects
+(``src/samplers.py:23-26``). JAX is functionally pure: randomness is an
+explicit ``jax.random`` key argument. This module centralises the
+conveniences for turning optional integer seeds into keys so the public
+API can accept either a key or a seed, mirroring the reference's
+``seed: int | None`` signatures.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+KeyArray = jax.Array
+
+
+def as_key(seed_or_key: int | KeyArray | None, default_seed: int = 0) -> KeyArray:
+    """Coerce an optional integer seed or an existing key into a PRNG key."""
+    if seed_or_key is None:
+        return jax.random.key(default_seed)
+    if isinstance(seed_or_key, int):
+        return jax.random.key(seed_or_key)
+    return seed_or_key
+
+
+def split_like(key: KeyArray, n: int) -> list[KeyArray]:
+    """Split ``key`` into ``n`` subkeys (returned as a list)."""
+    return list(jax.random.split(key, n))
+
+
+def normal(
+    key: KeyArray,
+    shape: tuple[int, ...],
+    dtype=jnp.float32,
+    mean: float = 0.0,
+    stdev: float = 1.0,
+) -> jax.Array:
+    """Gaussian draws with explicit mean/stdev, matching the reference's
+    ``torch.normal(mean, std, size)`` call shape (``basis/base.py:38-63``)."""
+    return mean + stdev * jax.random.normal(key, shape, dtype=dtype)

@@ -1,0 +1,68 @@
+"""PSD factorisation / MVN sampling tests (reference ``tests/test_samplers.py``
+strategy: exact distributional behaviour, regenerated for the JAX PRNG)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from projected_langevin_sampling_tpu.ops.linalg import (
+    cholesky_solve,
+    psd_sqrt,
+    robust_cholesky,
+    sample_multivariate_normal,
+    sample_with_factor,
+)
+
+
+def _spd(n, seed=0):
+    rng = np.random.default_rng(seed)
+    a = rng.normal(size=(n, n))
+    return jnp.asarray(a @ a.T + n * np.eye(n))
+
+
+def test_psd_sqrt_reconstructs():
+    cov = _spd(6)
+    s = psd_sqrt(cov)
+    np.testing.assert_allclose(np.asarray(s @ s.T), np.asarray(cov), rtol=1e-8, atol=1e-10)
+
+
+def test_psd_sqrt_clips_negative_eigenvalues():
+    # indefinite matrix: factor reconstructs only the PSD part
+    cov = jnp.asarray(np.diag([2.0, -1.0]))
+    s = psd_sqrt(cov)
+    np.testing.assert_allclose(np.asarray(s @ s.T), np.diag([2.0, 0.0]), atol=1e-12)
+
+
+def test_sample_multivariate_normal_moments():
+    cov = _spd(3, seed=1)
+    mean = jnp.asarray([1.0, -2.0, 0.5])
+    samples = sample_multivariate_normal(jax.random.key(0), mean, cov, size=(200_000,))
+    assert samples.shape == (200_000, 3)
+    emp_mean = np.mean(np.asarray(samples), axis=0)
+    emp_cov = np.cov(np.asarray(samples).T)
+    np.testing.assert_allclose(emp_mean, np.asarray(mean), atol=3e-2)
+    np.testing.assert_allclose(emp_cov, np.asarray(cov), rtol=0.05, atol=5e-2)
+
+
+def test_sample_with_factor_deterministic_given_key():
+    cov = _spd(4, seed=2)
+    f = psd_sqrt(cov)
+    a = sample_with_factor(jax.random.key(7), f, 10)
+    b = sample_with_factor(jax.random.key(7), f, 10)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cholesky_solve_roundtrip():
+    a = _spd(5, seed=3)
+    chol, jitter = robust_cholesky(a)
+    assert jitter == 0.0
+    rhs = jnp.asarray(np.random.default_rng(4).normal(size=(5, 2)))
+    x = cholesky_solve(chol, rhs)
+    np.testing.assert_allclose(np.asarray(a @ x), np.asarray(rhs), rtol=1e-8, atol=1e-10)
+
+
+def test_robust_cholesky_adds_jitter_for_singular():
+    a = jnp.asarray(np.ones((3, 3)))  # rank-1
+    chol, jitter = robust_cholesky(a)
+    assert jitter > 0.0
+    assert np.all(np.isfinite(np.asarray(chol)))
