@@ -24,6 +24,27 @@ from projected_langevin_sampling_tpu.models.costs import (
     StudentTCost,
 )
 from projected_langevin_sampling_tpu.models import link_functions
+from projected_langevin_sampling_tpu.models.conformalise import (
+    ConformaliseGP,
+    ConformalisePLS,
+)
+from projected_langevin_sampling_tpu.models.gaussian_process import (
+    SVGP,
+    BernoulliLikelihood,
+    ExactGP,
+    GaussianLikelihood,
+    StudentTLikelihood,
+    init_svgp,
+)
+from projected_langevin_sampling_tpu.models.gaussian_process.training import (
+    fit_exact_gp,
+    fit_svgp,
+)
+from projected_langevin_sampling_tpu.models.inducing_point_selectors import (
+    ConditionalVarianceInducingPointSelector,
+    RandomInducingPointSelector,
+)
+from projected_langevin_sampling_tpu.models.temper import TemperGP, TemperPLS
 from projected_langevin_sampling_tpu.ops.kernels import ARDKernel, PLSKernel
 from projected_langevin_sampling_tpu.training import langevin_steps, train_pls
 
@@ -45,4 +66,18 @@ __all__ = [
     "link_functions",
     "train_pls",
     "langevin_steps",
+    "ExactGP",
+    "SVGP",
+    "init_svgp",
+    "fit_exact_gp",
+    "fit_svgp",
+    "GaussianLikelihood",
+    "BernoulliLikelihood",
+    "StudentTLikelihood",
+    "TemperGP",
+    "TemperPLS",
+    "ConformaliseGP",
+    "ConformalisePLS",
+    "ConditionalVarianceInducingPointSelector",
+    "RandomInducingPointSelector",
 ]

@@ -1,0 +1,5 @@
+from projected_langevin_sampling_tpu.models.temper.base import TemperBase
+from projected_langevin_sampling_tpu.models.temper.gp import TemperGP
+from projected_langevin_sampling_tpu.models.temper.pls import TemperPLS
+
+__all__ = ["TemperBase", "TemperGP", "TemperPLS"]

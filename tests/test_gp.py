@@ -1,0 +1,211 @@
+"""GP baseline tests (reference ``tests/test_gp.py`` scope, substantially
+extended): exact-GP MLL and posterior against hand-computed formulas, SVGP
+ELBO/KL identities, the Titsias closed form, ELBO training convergence, and
+the PLS <-> variational-posterior equivalence the paper claims
+(reference README.md:10-12)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.stats
+
+from projected_langevin_sampling_tpu.models.basis import build_orthonormal_basis
+from projected_langevin_sampling_tpu.models.costs import GaussianCost
+from projected_langevin_sampling_tpu.models.distributions import (
+    Bernoulli,
+    MultivariateNormal,
+)
+from projected_langevin_sampling_tpu.models.gaussian_process import (
+    BernoulliLikelihood,
+    ExactGP,
+    GaussianLikelihood,
+    StudentTLikelihood,
+    init_svgp,
+    titsias_optimal_svgp,
+)
+from projected_langevin_sampling_tpu.models.gaussian_process.training import (
+    fit_exact_gp,
+    fit_svgp,
+)
+from projected_langevin_sampling_tpu.models.pls import PLS
+from projected_langevin_sampling_tpu.ops.kernels import ARDKernel, PLSKernel, ard_gram
+from projected_langevin_sampling_tpu.training import langevin_steps
+
+
+def _data(n=30, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(np.sort(rng.uniform(-2, 2, (n, 1)), axis=0))
+    y = jnp.asarray(np.sin(2 * np.asarray(x)[:, 0]) + 0.1 * rng.normal(size=n))
+    return x, y
+
+
+def _kernel(ls=0.7, os_=1.2):
+    return ARDKernel(lengthscales=jnp.asarray([ls]), outputscale=jnp.asarray(os_))
+
+
+def test_exact_gp_mll_matches_scipy():
+    x, y = _data()
+    gp = ExactGP(
+        mean_constant=jnp.asarray(0.3),
+        kernel=_kernel(),
+        noise=jnp.asarray(0.05),
+        x_train=x,
+        y_train=y,
+    )
+    k = np.asarray(ard_gram(gp.kernel, x, x)) + 0.05 * np.eye(30)
+    expected = scipy.stats.multivariate_normal(
+        mean=0.3 * np.ones(30), cov=k
+    ).logpdf(np.asarray(y))
+    np.testing.assert_allclose(float(gp.log_marginal_likelihood()), expected, rtol=1e-8)
+
+
+def test_exact_gp_posterior_matches_formulas():
+    x, y = _data()
+    gp = ExactGP(
+        mean_constant=jnp.asarray(0.0),
+        kernel=_kernel(),
+        noise=jnp.asarray(0.05),
+        x_train=x,
+        y_train=y,
+    )
+    x_test = jnp.asarray(np.linspace(-2, 2, 7)[:, None])
+    post = gp.predict_f(x_test)
+    k_nn = np.asarray(ard_gram(gp.kernel, x, x)) + 0.05 * np.eye(30)
+    k_sn = np.asarray(ard_gram(gp.kernel, x_test, x))
+    k_ss = np.asarray(ard_gram(gp.kernel, x_test, x_test))
+    mean = k_sn @ np.linalg.solve(k_nn, np.asarray(y))
+    cov = k_ss - k_sn @ np.linalg.solve(k_nn, k_sn.T)
+    np.testing.assert_allclose(np.asarray(post.mean), mean, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(post.variance), np.diag(cov), rtol=1e-6, atol=1e-10)
+    # predict_y adds noise
+    np.testing.assert_allclose(
+        np.asarray(gp.predict_y(x_test).variance),
+        np.diag(cov) + 0.05,
+        rtol=1e-6,
+        atol=1e-10,
+    )
+
+
+def test_fit_exact_gp_improves_mll():
+    x, y = _data()
+    gp, losses = fit_exact_gp(
+        x, y, kernel=_kernel(ls=2.5, os_=0.3), noise=0.5,
+        learning_rate=0.1, number_of_epochs=60,
+    )
+    assert losses[-1] < losses[0]
+    assert float(gp.noise) < 0.5  # noise shrinks toward the true 0.01
+
+
+def test_svgp_prior_init_kl_zero():
+    x, y = _data()
+    svgp = init_svgp(0.0, _kernel(), GaussianLikelihood(noise=jnp.asarray(0.05)), x[::3])
+    assert float(svgp.kl_divergence()) == pytest.approx(0.0, abs=1e-10)
+    # latent at init equals the prior
+    latent = svgp.latent(x)
+    np.testing.assert_allclose(
+        np.asarray(latent.variance),
+        np.asarray(ard_gram(svgp.kernel, x, x, diag=True)),
+        rtol=1e-6, atol=1e-8,
+    )
+
+
+def test_titsias_with_full_inducing_matches_exact_gp():
+    """Z = X: the Titsias-optimal SVGP posterior IS the exact GP posterior."""
+    x, y = _data(n=20)
+    noise = jnp.asarray(0.05)
+    svgp = titsias_optimal_svgp(
+        init_svgp(0.0, _kernel(), GaussianLikelihood(noise=noise), x), x, y
+    )
+    gp = ExactGP(
+        mean_constant=jnp.asarray(0.0), kernel=_kernel(), noise=noise,
+        x_train=x, y_train=y,
+    )
+    x_test = jnp.asarray(np.linspace(-2, 2, 9)[:, None])
+    sv, ex = svgp.latent(x_test), gp.predict_f(x_test)
+    np.testing.assert_allclose(np.asarray(sv.mean), np.asarray(ex.mean), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sv.variance), np.asarray(ex.variance), atol=1e-4)
+
+
+def test_fit_svgp_converges_to_titsias_elbo():
+    x, y = _data()
+    noise = jnp.asarray(0.05)
+    z = x[::3]
+    svgp0 = init_svgp(0.0, _kernel(), GaussianLikelihood(noise=noise), z)
+    optimal = titsias_optimal_svgp(svgp0, x, y)
+    elbo_opt = float(optimal.elbo(x, y, x.shape[0]))
+    # SGD step size must respect the ELBO curvature ~ N/noise (the reference
+    # handles this with its log-spaced learning-rate search, runners.py:449-542)
+    trained, losses = fit_svgp(
+        svgp0, x, y, number_of_epochs=3000, batch_size=30,
+        learning_rate=5e-4, learn_kernel_parameters=False,
+        learn_observation_noise=False, key=0,
+    )
+    elbo_trained = float(trained.elbo(x, y, x.shape[0]))
+    assert losses[-1] < losses[0]
+    assert elbo_trained >= elbo_opt - 0.5  # near-optimal
+    assert elbo_trained <= elbo_opt + 1e-6  # never above the optimum
+
+
+def test_svgp_bernoulli_trains():
+    rng = np.random.default_rng(3)
+    n = 60
+    x = jnp.asarray(np.sort(rng.uniform(-2, 2, (n, 1)), axis=0))
+    y = jnp.asarray((np.asarray(x)[:, 0] > 0).astype(float))
+    svgp = init_svgp(0.0, _kernel(), BernoulliLikelihood(), x[::6])
+    trained, losses = fit_svgp(
+        svgp, x, y, number_of_epochs=300, batch_size=60, learning_rate=0.05,
+        learn_kernel_parameters=False, key=0,
+    )
+    pred = trained.predict_y(x)
+    assert isinstance(pred, Bernoulli)
+    acc = float(jnp.mean((pred.probs > 0.5) == y))
+    assert acc > 0.85
+
+
+def test_student_t_expected_log_prob_quadrature():
+    """GH quadrature vs brute-force Monte Carlo on one point."""
+    lik = StudentTLikelihood(noise=jnp.asarray(0.25), degrees_of_freedom=5.0)
+    y = jnp.asarray([0.7])
+    mean_f, var_f = jnp.asarray([0.2]), jnp.asarray([0.3])
+    quad = float(lik.expected_log_prob(y, mean_f, var_f)[0])
+    f = np.asarray(mean_f) + np.sqrt(np.asarray(var_f)) * np.random.default_rng(0).normal(
+        size=200_000
+    )
+    mc = float(np.mean(np.asarray(lik.log_prob(y, jnp.asarray(f[None, :]))[0])))
+    assert quad == pytest.approx(mc, abs=5e-3)
+
+
+def test_pls_matches_projected_kernel_posterior():
+    """EXACT finite-sample identity: the ONB stationary train prediction is
+    kernel-ridge regression with the projected kernel
+    r_Z(x, x') = (1/M_k) k(x, Z) k(Z, x') — the variational-posterior
+    equivalence underlying the paper's SVGP claim, testable without
+    asymptotics. Checked (a) algebraically via the OU mean, (b) by sampling."""
+    x, y = _data(n=40)
+    sigma2 = 0.1
+    z = jnp.asarray(np.linspace(-2, 2, 10)[:, None])
+    kernel = PLSKernel(base_kernel=_kernel(ls=0.5, os_=1.0), approximation_samples=x)
+    onb = build_orthonormal_basis(kernel, z, x, eigenvalue_threshold=1e-8, verbose=False)
+
+    b_mat = np.asarray(onb.train_projection)
+    lam = np.asarray(onb.eigenvalues)
+    m_k = onb.approximation_dimension
+    a = b_mat.T @ b_mat / sigma2 + np.diag(1.0 / lam)
+    rhs = b_mat.T @ np.asarray(y) / sigma2
+    ou_train_mean = b_mat @ np.linalg.solve(a, rhs)
+
+    k_xz = np.asarray(ard_gram(kernel.base_kernel, x, z))
+    r = k_xz @ k_xz.T / m_k
+    ridge_mean = r @ np.linalg.solve(r + sigma2 * np.eye(40), np.asarray(y))
+    np.testing.assert_allclose(ou_train_mean, ridge_mean, rtol=1e-6, atol=1e-8)
+
+    # (b) sampled chain reproduces it
+    cost = GaussianCost(y_train=y, observation_noise=jnp.asarray(sigma2))
+    pls = PLS(basis=onb, cost=cost)
+    eta = 0.5 / np.linalg.eigvalsh(a).max()
+    steps = int(np.ceil(12.0 / (eta * np.linalg.eigvalsh(a).min())))
+    particles = pls.initialise_particles(2000, key=0)
+    trained = langevin_steps(onb, cost, particles, jax.random.key(1), eta, steps)
+    emp = np.asarray(onb.calculate_untransformed_train_prediction_samples(trained)).mean(axis=1)
+    np.testing.assert_allclose(emp, ridge_mean, atol=0.07)
