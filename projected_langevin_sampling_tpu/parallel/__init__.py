@@ -1,0 +1,21 @@
+from projected_langevin_sampling_tpu.parallel.mesh import (
+    DATA_AXIS,
+    PARTICLE_AXIS,
+    make_mesh,
+)
+from projected_langevin_sampling_tpu.parallel.sharded import (
+    ShardedPLSOperators,
+    operators_from_basis,
+    parallel_langevin_steps,
+    parallel_langevin_steps_with_noise,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "PARTICLE_AXIS",
+    "make_mesh",
+    "ShardedPLSOperators",
+    "operators_from_basis",
+    "parallel_langevin_steps",
+    "parallel_langevin_steps_with_noise",
+]

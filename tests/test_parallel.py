@@ -1,0 +1,139 @@
+"""Multi-device tests on the 8-way virtual CPU mesh: the sharded Langevin
+step must compute IDENTICAL math to the single-device path (the correctness
+contract of SURVEY.md §5.8), and the stochastic path must converge to the
+same stationary law."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from projected_langevin_sampling_tpu.models.basis import (
+    build_inducing_point_basis,
+    build_orthonormal_basis,
+)
+from projected_langevin_sampling_tpu.models.costs import BernoulliCost, GaussianCost
+from projected_langevin_sampling_tpu.parallel import (
+    make_mesh,
+    parallel_langevin_steps,
+    parallel_langevin_steps_with_noise,
+)
+from projected_langevin_sampling_tpu.ops.kernels import ARDKernel, PLSKernel
+
+SIGMA2 = 0.1
+
+
+def _setup(n=32, m=8, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(np.sort(rng.uniform(-2, 2, (n, 1)), axis=0))
+    y = jnp.asarray(np.sin(2 * np.asarray(x)[:, 0]) + 0.1 * rng.normal(size=n))
+    base = ARDKernel(lengthscales=jnp.asarray([0.4]), outputscale=jnp.asarray(1.0))
+    kernel = PLSKernel(base_kernel=base, approximation_samples=x)
+    z = jnp.asarray(np.linspace(-2, 2, m)[:, None])
+    y_induce = jnp.asarray(np.sin(2 * np.linspace(-2, 2, m)))
+    return x, y, z, y_induce, kernel
+
+
+def _manual_single_device(basis, cost, u, noise_seq, eta):
+    """Reference single-device loop with injected noise."""
+    u = np.asarray(u)
+    for t in range(noise_seq.shape[0]):
+        update = basis.calculate_particle_update(
+            jnp.asarray(u), cost.calculate_cost_derivative(
+                basis.calculate_untransformed_train_prediction_samples(jnp.asarray(u))
+            ), eta, noise=jnp.asarray(noise_seq[t]),
+        )
+        u = u + np.asarray(update)
+    return u
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("which", ["onb", "ipb"])
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4), (8, 1)])
+def test_sharded_matches_single_device_with_injected_noise(which, mesh_shape):
+    x, y, z, y_induce, kernel = _setup()
+    if which == "onb":
+        basis = build_orthonormal_basis(
+            kernel, z, x, eigenvalue_threshold=1e-2, verbose=False
+        )
+    else:
+        basis = build_inducing_point_basis(kernel, z, y_induce, x)
+    cost = GaussianCost(y_train=y, observation_noise=jnp.asarray(SIGMA2))
+    m_dim = basis.approximation_dimension
+    j = 16
+    rng = np.random.default_rng(1)
+    u0 = jnp.asarray(rng.normal(size=(m_dim, j)))
+    noise_seq = rng.normal(size=(5, m_dim, j))
+    eta = 1e-3
+
+    mesh = make_mesh(*mesh_shape)
+    sharded = parallel_langevin_steps_with_noise(
+        mesh, basis, cost, u0, jnp.asarray(noise_seq), eta
+    )
+    single = _manual_single_device(basis, cost, u0, noise_seq, eta)
+    np.testing.assert_allclose(np.asarray(sharded), single, rtol=1e-9, atol=1e-11)
+
+
+def test_sharded_bernoulli_cost_matches():
+    """Non-Gaussian cost derivative is elementwise, so sharding over data must
+    still be exact."""
+    x, y, z, y_induce, kernel = _setup()
+    y_bin = jnp.asarray((np.asarray(y) > 0).astype(float))
+    basis = build_orthonormal_basis(kernel, z, x, eigenvalue_threshold=1e-2, verbose=False)
+    cost = BernoulliCost(y_train=y_bin)
+    m_dim = basis.approximation_dimension
+    rng = np.random.default_rng(2)
+    u0 = jnp.asarray(rng.normal(size=(m_dim, 8)))
+    noise_seq = rng.normal(size=(3, m_dim, 8))
+    mesh = make_mesh(2, 4)
+    sharded = parallel_langevin_steps_with_noise(
+        mesh, basis, cost, u0, jnp.asarray(noise_seq), 1e-3
+    )
+    single = _manual_single_device(basis, cost, u0, noise_seq, 1e-3)
+    np.testing.assert_allclose(np.asarray(sharded), single, rtol=1e-9, atol=1e-11)
+
+
+def test_stochastic_sharded_run_stationary_mean():
+    """The in-shard PRNG path: converges to the same OU stationary mean as the
+    analytic solution (distributional correctness)."""
+    x, y, z, y_induce, kernel = _setup()
+    basis = build_orthonormal_basis(kernel, z, x, eigenvalue_threshold=1e-2, verbose=False)
+    cost = GaussianCost(y_train=y, observation_noise=jnp.asarray(SIGMA2))
+    p = np.asarray(basis.train_projection)
+    a = p.T @ p / SIGMA2 + np.diag(1.0 / np.asarray(basis.eigenvalues))
+    b = p.T @ np.asarray(y) / SIGMA2
+    mean_exact = np.linalg.solve(a, b)
+    eta = 0.5 / np.linalg.eigvalsh(a).max()
+    steps = int(np.ceil(10.0 / (eta * np.linalg.eigvalsh(a).min())))
+
+    mesh = make_mesh(2, 4)
+    j = 2048
+    u0 = jnp.asarray(np.random.default_rng(3).normal(size=(basis.approximation_dimension, j)))
+    final, energies = parallel_langevin_steps(
+        mesh, basis, cost, u0, jax.random.key(0), eta, steps, with_energy=True
+    )
+    emp_mean = np.asarray(final).mean(axis=1)
+    np.testing.assert_allclose(emp_mean, mean_exact, atol=0.1 * np.abs(mean_exact).max() + 0.05)
+    assert energies.shape == (steps,)
+    assert np.all(np.isfinite(np.asarray(energies)))
+    assert float(energies[-1]) < float(energies[0])
+
+
+def test_energy_matches_single_device_definition():
+    """psum'd sharded energy == facade energy on the same particles."""
+    from projected_langevin_sampling_tpu.models.pls import PLS
+
+    x, y, z, y_induce, kernel = _setup()
+    basis = build_orthonormal_basis(kernel, z, x, eigenvalue_threshold=1e-2, verbose=False)
+    cost = GaussianCost(y_train=y, observation_noise=jnp.asarray(SIGMA2))
+    mesh = make_mesh(2, 4)
+    u0 = jnp.asarray(np.random.default_rng(4).normal(size=(basis.approximation_dimension, 16)))
+    final, energies = parallel_langevin_steps(
+        mesh, basis, cost, u0, jax.random.key(0), 1e-3, 1, with_energy=True
+    )
+    pls = PLS(basis=basis, cost=cost)
+    expected = float(pls.calculate_energy_potential(jnp.asarray(np.asarray(final))))
+    assert float(energies[0]) == pytest.approx(expected, rel=1e-9)
