@@ -57,7 +57,10 @@ def main():
     basis, cost, j = build()
     key = jax.random.key(0)
     particles = basis.initialise_particles(j, key=0)
-    n_steps = 200
+    # long scan: the axon tunnel adds ~35ms fixed dispatch latency per
+    # execution, which would dominate a short run; production Langevin runs
+    # are 1e5-1e7 steps (reference uci config maximum_number_of_steps)
+    n_steps = 20_000
     patience = float("inf")
 
     # warmup / compile

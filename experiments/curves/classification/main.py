@@ -1,0 +1,219 @@
+"""1-D binary-classification experiments (reference
+``experiments/curves/classification/main.py``): ONB+IPB bases x
+sigmoid+probit Bernoulli costs — the 4-model grid of ``main.py:210-227`` —
+plus an SVGP (Bernoulli likelihood) baseline.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax.numpy as jnp
+import yaml
+
+from experiments.curves.common import (
+    learn_kernel_and_inducing_points,
+    train_or_load_pls,
+)
+from experiments.curves.curves import CURVE_FUNCTIONS, Curve
+from experiments.data import Data, ExperimentData, ProblemType
+from experiments.metrics import calculate_metrics
+from experiments.plotters import plot_1d_experiment_data, plot_eigenvalues
+from experiments.preprocess import split_regression_data_intervals
+from experiments.runners import train_svgp_runner
+from experiments.utils import create_directory, str2bool
+from projected_langevin_sampling_tpu.models.basis import (
+    build_inducing_point_basis,
+    build_orthonormal_basis,
+)
+from projected_langevin_sampling_tpu.models.costs import BernoulliCost
+from projected_langevin_sampling_tpu.models.gaussian_process import BernoulliLikelihood
+from projected_langevin_sampling_tpu.models.link_functions import (
+    ProbitLinkFunction,
+    SigmoidLinkFunction,
+)
+from projected_langevin_sampling_tpu.models.pls import PLS
+
+parser = argparse.ArgumentParser(description="Main script for toy classification experiments.")
+parser.add_argument("--config_path", type=str)
+parser.add_argument("--include_gif", type=str2bool, default=False)
+parser.add_argument("--curve", type=int, default=None)
+
+
+def get_experiment_data(
+    curve_function: Curve,
+    number_of_data_points: int,
+    seed: int,
+    number_of_test_intervals: int,
+    total_number_of_intervals: int,
+) -> ExperimentData:
+    x = jnp.linspace(-3, 3, number_of_data_points).reshape(-1, 1)
+    y_curve = 2 * curve_function.calculate_curve(x=x).reshape(-1)
+    y = curve_function.classification(y_curve=y_curve, key=seed).astype(jnp.float64)
+    link = SigmoidLinkFunction()
+    y_untransformed = link(y_curve)
+    (x_train, y_train, y_train_u, x_test, y_test, y_test_u) = (
+        split_regression_data_intervals(
+            split_seed=curve_function.seed,
+            x=x,
+            y=y,
+            y_untransformed=y_untransformed,
+            number_of_test_intervals=number_of_test_intervals,
+            total_number_of_intervals=total_number_of_intervals,
+        )
+    )
+    return ExperimentData(
+        name=type(curve_function).__name__.lower(),
+        problem_type=ProblemType.CLASSIFICATION,
+        full=Data(x=x, y=y, y_untransformed=y_untransformed, name="full"),
+        train=Data(x=x_train, y=y_train, y_untransformed=y_train_u, name="train"),
+        test=Data(x=x_test, y=y_test, y_untransformed=y_test_u, name="test"),
+    )
+
+
+def main(
+    curve_function: Curve,
+    data_config: dict,
+    kernel_config: dict,
+    inducing_points_config: dict,
+    pls_config: dict,
+    svgp_config: dict,
+    outputs_path: str,
+    include_gif: bool,
+) -> None:
+    experiment_data = get_experiment_data(
+        curve_function=curve_function,
+        number_of_data_points=data_config["number_of_data_points"],
+        seed=data_config["seed"],
+        number_of_test_intervals=data_config["number_of_test_intervals"],
+        total_number_of_intervals=data_config["total_number_of_intervals"],
+    )
+    curve_name = type(curve_function).__name__.lower()
+    data_path = os.path.join(outputs_path, "data", curve_name)
+    plot_curve_path = os.path.join(outputs_path, "plots", curve_name)
+    models_path = os.path.join(outputs_path, "models", curve_name)
+    results_path = os.path.join(outputs_path, "results", curve_name)
+    create_directory(plot_curve_path)
+    plot_1d_experiment_data(
+        experiment_data=experiment_data,
+        title=f"{curve_function.__name__} classification data",
+        save_path=os.path.join(plot_curve_path, "experiment-data.png"),
+    )
+
+    # kernel learned on +-1-style regression surrogates of the labels
+    # (the reference trains the subsample GPs directly on the 0/1 labels)
+    (_, ard_kernel, _, mean_constant, inducing_points, pls_kernel) = (
+        learn_kernel_and_inducing_points(
+            experiment_data=experiment_data,
+            kernel_config=kernel_config,
+            inducing_points_config=inducing_points_config,
+            models_path=models_path,
+            data_path=data_path,
+            plot_curve_path=plot_curve_path,
+        )
+    )
+
+    onb_basis = build_orthonormal_basis(
+        kernel=pls_kernel,
+        x_induce=inducing_points.x,
+        x_train=experiment_data.train.x,
+    )
+    ipb_basis = build_inducing_point_basis(
+        kernel=pls_kernel,
+        x_induce=inducing_points.x,
+        y_induce=inducing_points.y,
+        x_train=experiment_data.train.x,
+    )
+    plot_eigenvalues(
+        onb_basis, title="Eigenvalues",
+        save_path=os.path.join(plot_curve_path, "eigenvalues.png"),
+    )
+    sigmoid_cost = BernoulliCost(
+        y_train=experiment_data.train.y, link_function=SigmoidLinkFunction()
+    )
+    probit_cost = BernoulliCost(
+        y_train=experiment_data.train.y, link_function=ProbitLinkFunction()
+    )
+    pls_dict = {
+        "pls-onb-probit": PLS(basis=onb_basis, cost=probit_cost),
+        "pls-ipb-probit": PLS(basis=ipb_basis, cost=probit_cost),
+        "pls-onb-sigmoid": PLS(basis=onb_basis, cost=sigmoid_cost),
+        "pls-ipb-sigmoid": PLS(basis=ipb_basis, cost=sigmoid_cost),
+    }
+    plot_title = "PLS for Binary Classification"
+    for pls_name, pls in pls_dict.items():
+        particles, _, _ = train_or_load_pls(
+            pls=pls,
+            pls_name=pls_name,
+            experiment_data=experiment_data,
+            pls_config=pls_config,
+            models_path=models_path,
+            plot_curve_path=plot_curve_path,
+            plot_title=plot_title,
+        )
+        calculate_metrics(
+            model=pls,
+            experiment_data=experiment_data,
+            model_name=pls_name,
+            dataset_name=curve_name,
+            results_path=results_path,
+            plots_path=plot_curve_path,
+            coverage=0.95,
+            particles=particles,
+        )
+
+    # SVGP baseline with probit-Bernoulli likelihood
+    svgp, losses, _ = train_svgp_runner(
+        model_name="svgp-c",
+        experiment_data=experiment_data,
+        inducing_points=inducing_points,
+        kernel=pls_kernel,
+        likelihood=BernoulliLikelihood(),
+        seed=svgp_config["seed"],
+        number_of_epochs=svgp_config["number_of_epochs"],
+        batch_size=svgp_config["batch_size"],
+        learning_rate_upper=svgp_config["learning_rate_upper"],
+        learning_rate_lower=svgp_config["learning_rate_lower"],
+        number_of_learning_rate_searches=svgp_config["number_of_learning_rate_searches"],
+        is_fixed=True,
+        mean_constant=float(mean_constant),
+        early_stopper_patience=svgp_config["early_stopper_patience"],
+        models_path=os.path.join(models_path, "svgp-c-kernel-iterations"),
+        plot_title="SVGP for Binary Classification",
+        plot_loss_path=plot_curve_path,
+    )
+    if svgp is not None:
+        calculate_metrics(
+            model=svgp,
+            experiment_data=experiment_data,
+            model_name="svgp-c",
+            dataset_name=curve_name,
+            results_path=results_path,
+            plots_path=plot_curve_path,
+            coverage=0.95,
+        )
+
+
+if __name__ == "__main__":
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    args = parser.parse_args()
+    with open(args.config_path) as file:
+        loaded_config = yaml.safe_load(file)
+    outputs_path = os.path.join(os.path.dirname(os.path.realpath(__file__)), "outputs")
+    curves = CURVE_FUNCTIONS
+    if args.curve is not None:
+        curves = [CURVE_FUNCTIONS[args.curve - 1]]
+    for curve_function_ in curves:
+        main(
+            curve_function=curve_function_,
+            data_config=loaded_config["data"],
+            kernel_config=loaded_config["kernel"],
+            inducing_points_config=loaded_config["inducing_points"],
+            pls_config=loaded_config["pls"],
+            svgp_config=loaded_config["svgp"],
+            outputs_path=outputs_path,
+            include_gif=args.include_gif,
+        )

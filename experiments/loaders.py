@@ -1,0 +1,163 @@
+"""Checkpoint save/load (reference ``experiments/loaders.py:10-79``).
+
+The reference torch.saves dicts keyed on file existence (train-or-load); here
+checkpoints are pickles of numpy-converted pytrees. Same granularity: whole
+model, no mid-run checkpoints — the Langevin run itself is seconds on TPU.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from projected_langevin_sampling_tpu.models.gaussian_process import SVGP, ExactGP
+from projected_langevin_sampling_tpu.ops.kernels import ARDKernel
+
+Array = jax.Array
+
+
+def _to_np(tree):
+    return jax.tree.map(lambda leaf: np.asarray(leaf), tree)
+
+
+def save_pls(
+    path: str,
+    particles: Array,
+    observation_noise: float | None,
+    best_lr: float | None,
+    number_of_epochs: int,
+) -> None:
+    """PLS checkpoint = {particles, observation_noise, best_lr, epochs}
+    (reference ``curves/regression/main.py:259-267``)."""
+    with open(path, "wb") as f:
+        pickle.dump(
+            {
+                "particles": np.asarray(particles),
+                "observation_noise": None
+                if observation_noise is None
+                else float(np.asarray(observation_noise)),
+                "best_lr": best_lr,
+                "number_of_epochs": number_of_epochs,
+            },
+            f,
+        )
+
+
+def load_pls(path: str, pls=None) -> tuple[Array, float | None, float | None, int]:
+    """Returns (particles, observation_noise, best_lr, number_of_epochs);
+    sets ``pls.observation_noise`` when a model is passed
+    (reference ``loaders.py:10-28``)."""
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    print(f"Loaded PLS particles from {path=}")
+    if pls is not None and payload["observation_noise"] is not None:
+        pls.observation_noise = payload["observation_noise"]
+    return (
+        jnp.asarray(payload["particles"]),
+        payload["observation_noise"],
+        payload["best_lr"],
+        payload["number_of_epochs"],
+    )
+
+
+def _kernel_payload(kernel):
+    from projected_langevin_sampling_tpu.ops.kernels import PLSKernel
+
+    if isinstance(kernel, PLSKernel):
+        return {
+            "kind": "pls",
+            "lengthscales": np.asarray(kernel.base_kernel.lengthscales),
+            "outputscale": np.asarray(kernel.base_kernel.outputscale),
+            "approximation_samples": np.asarray(kernel.approximation_samples),
+        }
+    return {
+        "kind": "ard",
+        "lengthscales": np.asarray(kernel.lengthscales),
+        "outputscale": np.asarray(kernel.outputscale),
+    }
+
+
+def _kernel_from_payload(p):
+    from projected_langevin_sampling_tpu.ops.kernels import PLSKernel
+
+    ard = ARDKernel(
+        lengthscales=jnp.asarray(p["lengthscales"]),
+        outputscale=jnp.asarray(p["outputscale"]),
+    )
+    if p["kind"] == "pls":
+        return PLSKernel(
+            base_kernel=ard,
+            approximation_samples=jnp.asarray(p["approximation_samples"]),
+        )
+    return ard
+
+
+def save_svgp(path: str, model: SVGP, losses: list[float] | None, best_learning_rate) -> None:
+    with open(path, "wb") as f:
+        pickle.dump(
+            {
+                "mean_constant": np.asarray(model.mean_constant),
+                "kernel": _kernel_payload(model.kernel),
+                "likelihood": _to_np(model.likelihood),
+                "x_induce": np.asarray(model.x_induce),
+                "variational_mean": np.asarray(model.variational_mean),
+                "variational_chol": np.asarray(model.variational_chol),
+                "losses": losses,
+                "best_learning_rate": best_learning_rate,
+            },
+            f,
+        )
+
+
+def load_svgp(path: str, likelihood) -> tuple[SVGP, list[float] | None, float | None]:
+    """(reference ``loaders.py:31-55``)."""
+    with open(path, "rb") as f:
+        p = pickle.load(f)
+    print(f"Loaded SVGP from {path=}")
+    likelihood = jax.tree.map(lambda _, s: jnp.asarray(s), likelihood, p["likelihood"])
+    model = SVGP(
+        mean_constant=jnp.asarray(p["mean_constant"]),
+        kernel=_kernel_from_payload(p["kernel"]),
+        likelihood=likelihood,
+        x_induce=jnp.asarray(p["x_induce"]),
+        variational_mean=jnp.asarray(p["variational_mean"]),
+        variational_chol=jnp.asarray(p["variational_chol"]),
+    )
+    return model, p["losses"], p["best_learning_rate"]
+
+
+def save_ard_exact_gp_model(path: str, model: ExactGP, losses: list[float] | None) -> None:
+    with open(path, "wb") as f:
+        pickle.dump(
+            {
+                "mean_constant": np.asarray(model.mean_constant),
+                "lengthscales": np.asarray(model.kernel.lengthscales),
+                "outputscale": np.asarray(model.kernel.outputscale),
+                "noise": np.asarray(model.noise),
+                "x_train": np.asarray(model.x_train),
+                "y_train": np.asarray(model.y_train),
+                "losses": losses,
+            },
+            f,
+        )
+
+
+def load_ard_exact_gp_model(path: str) -> tuple[ExactGP, list[float] | None]:
+    """(reference ``loaders.py:58-79``)."""
+    with open(path, "rb") as f:
+        p = pickle.load(f)
+    print(f"Loaded ExactGP from {path=}")
+    model = ExactGP(
+        mean_constant=jnp.asarray(p["mean_constant"]),
+        kernel=ARDKernel(
+            lengthscales=jnp.asarray(p["lengthscales"]),
+            outputscale=jnp.asarray(p["outputscale"]),
+        ),
+        noise=jnp.asarray(p["noise"]),
+        x_train=jnp.asarray(p["x_train"]),
+        y_train=jnp.asarray(p["y_train"]),
+    )
+    return model, p["losses"]

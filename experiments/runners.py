@@ -1,0 +1,509 @@
+"""High-level orchestration (reference ``experiments/runners.py``):
+inducing-point selection, subsample-GP kernel learning, the log-spaced
+step-size search for PLS, the log-spaced learning-rate search for SVGP, and
+the plotting runners.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import sklearn.metrics
+from sklearn.neighbors import NearestNeighbors
+
+from experiments.data import Data, ExperimentData
+from experiments.loaders import (
+    load_ard_exact_gp_model,
+    load_svgp,
+    save_ard_exact_gp_model,
+    save_svgp,
+)
+from experiments.metrics import calculate_mae, calculate_mse, calculate_nll
+from experiments.trainers import train_exact_gp, train_pls, train_svgp
+from experiments.utils import create_directory
+from projected_langevin_sampling_tpu.models.conformalise import ConformalisePLS
+from projected_langevin_sampling_tpu.models.inducing_point_selectors import (
+    InducingPointSelector,
+)
+from projected_langevin_sampling_tpu.models.pls import PLS
+from projected_langevin_sampling_tpu.models.temper import TemperPLS
+from projected_langevin_sampling_tpu.ops.kernels import ARDKernel
+
+Array = jax.Array
+
+
+def inducing_points_runner(
+    seed: int,
+    inducing_point_selector: InducingPointSelector,
+    data: Data,
+    number_induce_points: int,
+    kernel: ARDKernel,
+) -> Data:
+    """Select inducing points + their labels (reference ``runners.py:37-63``)."""
+    x = np.asarray(data.x).reshape(data.x.shape[0], -1)
+    x_induce, induce_indices = inducing_point_selector(
+        x=jnp.asarray(x),
+        m=number_induce_points,
+        kernel=kernel,
+        rng=np.random.default_rng(seed),
+    )
+    idx = np.asarray(induce_indices)
+    return Data(
+        x=x_induce,
+        y=None if data.y is None else jnp.asarray(np.asarray(data.y)[idx]),
+        y_untransformed=(
+            None
+            if data.y_untransformed is None
+            else jnp.asarray(np.asarray(data.y_untransformed)[idx])
+        ),
+        name="induce",
+    )
+
+
+def load_subsample_data(data: Data, subsample_size: int, seed: int | None = None) -> Data:
+    """kNN neighbourhood subsample around a random point
+    (reference ``runners.py:66-85``)."""
+    if subsample_size > len(data.x):
+        return data
+    rng = np.random.default_rng(seed)
+    x = np.asarray(data.x)
+    knn = NearestNeighbors(n_neighbors=subsample_size, p=2)
+    knn.fit(X=x)
+    centre = x[rng.integers(x.shape[0])][None, :]
+    subsample_indices = knn.kneighbors(X=centre, return_distance=False).flatten()
+    return Data(
+        x=jnp.asarray(x[subsample_indices]),
+        y=jnp.asarray(np.asarray(data.y)[subsample_indices]),
+    )
+
+
+def exact_gp_runner(
+    experiment_data: ExperimentData,
+    kernel: ARDKernel,
+    subsample_size: int,
+    seed: int,
+    number_of_epochs: int,
+    learning_rate: float,
+    number_of_iterations: int,
+    early_stopper_patience: float,
+    model_path: str,
+    data_path: str,
+    plot_1d_subsample_path: str | None = None,
+    plot_loss_path: str | None = None,
+) -> list:
+    """Train-or-load k subsample exact GPs (reference ``runners.py:88-187``)."""
+    from experiments.plotters import plot_1d_gp_prediction_and_inducing_points, plot_losses
+
+    create_directory(model_path)
+    create_directory(data_path)
+    models = []
+    losses_history = {}
+    if subsample_size >= len(experiment_data.train.x):
+        number_of_iterations = 1
+        model_name = "full_exact_gp"
+    else:
+        model_name = "subsample_exact_gp"
+    for i in range(number_of_iterations):
+        ckpt = os.path.join(
+            model_path, f"{model_name}_{i + 1}_of_{number_of_iterations}.pkl"
+        )
+        if os.path.exists(ckpt):
+            model, losses = load_ard_exact_gp_model(ckpt)
+        else:
+            data = load_subsample_data(
+                data=experiment_data.train,
+                subsample_size=subsample_size,
+                seed=seed + i,
+            )
+            model, losses = train_exact_gp(
+                data=data,
+                kernel=kernel,
+                seed=seed + i,
+                number_of_epochs=number_of_epochs,
+                learning_rate=learning_rate,
+                early_stopper_patience=early_stopper_patience,
+                model_name=model_name,
+            )
+            save_ard_exact_gp_model(ckpt, model, losses)
+            if plot_1d_subsample_path is not None:
+                create_directory(plot_1d_subsample_path)
+                plot_1d_gp_prediction_and_inducing_points(
+                    model=model,
+                    experiment_data=experiment_data,
+                    title=f"Subsample GP (iteration {i + 1}, {subsample_size=})",
+                    save_path=os.path.join(
+                        plot_1d_subsample_path, f"gp-subsample-iteration-{i + 1}.png"
+                    ),
+                )
+        losses_history[float(i)] = losses
+        models.append(model)
+    if plot_loss_path is not None:
+        create_directory(plot_loss_path)
+        plot_losses(
+            losses_history=losses_history,
+            title=f"Subsample GP Learning ({subsample_size=})",
+            save_path=os.path.join(plot_loss_path, "subsample-gp-losses.png"),
+        )
+    return models
+
+
+def train_pls_runner(
+    pls: PLS,
+    particle_name: str,
+    experiment_data: ExperimentData,
+    simulation_duration: float,
+    maximum_number_of_steps: int,
+    early_stopper_patience: float,
+    number_of_step_searches: int,
+    step_size_upper: float,
+    minimum_change_in_energy_potential: float,
+    seed: int,
+    particles: Array,
+    plot_title: str | None = None,
+    plot_energy_potential_path: str | None = None,
+    metric_to_optimise: str = "nll",
+    fast_path: str = "auto",
+) -> tuple[Array, float | None, int]:
+    """Log-spaced step-size search (reference ``runners.py:331-446``): each
+    candidate runs for simulation_duration/step_size epochs from the SAME
+    initial particles; the best by the train-split metric wins; break early
+    when the final energy stops moving between consecutive candidates."""
+    if metric_to_optimise in ["nll", "mse", "mae", "loss"]:
+        best_metric_value = float("inf")
+    elif metric_to_optimise in ["acc", "auc", "f1"]:
+        best_metric_value = 0.0
+    else:
+        raise NotImplementedError(f"Unknown metric to optimise {metric_to_optimise}.")
+    best_lr = None
+    energy_potentials_history: dict[float, list[float]] = {}
+    step_sizes = np.logspace(
+        np.log10(step_size_upper),
+        np.log10(simulation_duration / maximum_number_of_steps),
+        number_of_step_searches,
+    )
+    particles_out = particles
+    for i, step_size in enumerate(step_sizes):
+        number_of_epochs = int(simulation_duration / step_size)
+        particles_i, energy_potentials = train_pls(
+            pls=pls,
+            particles=particles,
+            number_of_epochs=number_of_epochs,
+            step_size=float(step_size),
+            early_stopper_patience=early_stopper_patience,
+            seed=seed,
+            fast_path=fast_path,
+            tqdm_desc=(
+                f"PLS Step Size Search {i + 1} of {number_of_step_searches} "
+                f"for {particle_name} ({step_size=})"
+            ),
+        )
+        if energy_potentials and bool(jnp.isfinite(particles_i).all()):
+            energy_potentials_history[float(step_size)] = energy_potentials
+            prediction = pls.predict(
+                x=experiment_data.train.x, particles=particles_i, key=0
+            )
+            y_train = experiment_data.train.y
+            if metric_to_optimise == "nll":
+                metric_value = calculate_nll(prediction=prediction, y=y_train)
+            elif metric_to_optimise == "mse":
+                metric_value = calculate_mse(prediction=prediction, y=y_train)
+            elif metric_to_optimise == "mae":
+                metric_value = calculate_mae(prediction=prediction, y=y_train)
+            elif metric_to_optimise == "acc":
+                metric_value = float(
+                    sklearn.metrics.accuracy_score(
+                        np.asarray(y_train), np.asarray(prediction.probs).round()
+                    )
+                )
+            elif metric_to_optimise == "auc":
+                metric_value = float(
+                    sklearn.metrics.roc_auc_score(
+                        np.asarray(y_train), np.asarray(prediction.probs)
+                    )
+                )
+            elif metric_to_optimise == "f1":
+                metric_value = float(
+                    sklearn.metrics.f1_score(
+                        np.asarray(y_train), np.asarray(prediction.probs).round()
+                    )
+                )
+            elif metric_to_optimise == "loss":
+                metric_value = energy_potentials[-1]
+            if (
+                metric_to_optimise in ["nll", "mse", "mae", "loss"]
+                and metric_value < best_metric_value
+            ) or (
+                metric_to_optimise in ["acc", "auc", "f1"]
+                and metric_value > best_metric_value
+            ):
+                best_metric_value = metric_value
+                best_lr = float(step_size)
+                particles_out = particles_i
+            prev = float(step_sizes[i - 1]) if i > 0 else None
+            if (
+                prev is not None
+                and prev in energy_potentials_history
+                and abs(
+                    energy_potentials_history[prev][-1] - energy_potentials[-1]
+                )
+                / energy_potentials_history[prev][-1]
+                < minimum_change_in_energy_potential
+            ):
+                break
+    if energy_potentials_history and plot_energy_potential_path is not None:
+        from experiments.plotters import plot_energy_potentials
+
+        create_directory(plot_energy_potential_path)
+        plot_energy_potentials(
+            energy_potentials_history=energy_potentials_history,
+            title=f"{plot_title} (energy potentials)" if plot_title else None,
+            save_path=os.path.join(
+                plot_energy_potential_path, f"energy-potential-{particle_name}.png"
+            ),
+        )
+    best_epochs = (
+        len(energy_potentials_history[best_lr]) if best_lr is not None else 0
+    )
+    return particles_out, best_lr, best_epochs
+
+
+def train_svgp_runner(
+    model_name: str,
+    experiment_data: ExperimentData,
+    inducing_points: Data,
+    kernel: ARDKernel,
+    likelihood,
+    seed: int,
+    number_of_epochs: int,
+    batch_size: int,
+    learning_rate_upper: float,
+    learning_rate_lower: float,
+    number_of_learning_rate_searches: int,
+    is_fixed: bool,
+    models_path: str,
+    early_stopper_patience: float,
+    observation_noise: float | None = None,
+    mean_constant: float = 0.0,
+    plot_title: str | None = None,
+    plot_loss_path: str | None = None,
+    load_model: bool = True,
+):
+    """Log-spaced learning-rate search for SVGP (reference ``runners.py:449-542``).
+    Returns (model, losses, best_learning_rate)."""
+    create_directory(models_path)
+    best_loss = float("inf")
+    losses_history = {}
+    model_out, losses_out, best_learning_rate = None, None, None
+    for i, learning_rate in enumerate(
+        np.logspace(
+            math.log10(learning_rate_lower),
+            math.log10(learning_rate_upper),
+            number_of_learning_rate_searches,
+        )
+    ):
+        ckpt = os.path.join(
+            models_path, f"svgp_{i + 1}_of_{number_of_learning_rate_searches}.pkl"
+        )
+        if os.path.exists(ckpt) and load_model:
+            model, losses, _ = load_svgp(ckpt, likelihood)
+        else:
+            model, losses = train_svgp(
+                train_data=experiment_data.train,
+                inducing_points=inducing_points,
+                kernel=kernel,
+                likelihood=likelihood,
+                seed=seed,
+                number_of_epochs=number_of_epochs,
+                batch_size=batch_size,
+                learning_rate=float(learning_rate),
+                learn_inducing_locations=not is_fixed,
+                learn_kernel_parameters=not is_fixed,
+                early_stopper_patience=early_stopper_patience,
+                likelihood_noise=observation_noise,
+                mean_constant=mean_constant,
+            )
+            if model is None:
+                continue
+            save_svgp(ckpt, model, losses, best_learning_rate)
+        if not losses:
+            continue
+        losses_history[float(learning_rate)] = losses
+        loss = losses[-1]
+        if loss < best_loss:
+            best_loss = loss
+            best_learning_rate = float(learning_rate)
+            model_out = model
+            losses_out = losses
+    if plot_loss_path is not None:
+        from experiments.plotters import plot_losses
+
+        create_directory(plot_loss_path)
+        plot_losses(
+            losses_history=losses_history,
+            title=f"{plot_title} loss ({model_name})" if plot_title else None,
+            save_path=os.path.join(plot_loss_path, f"{model_name}-losses.png"),
+        )
+    return model_out, losses_out, best_learning_rate
+
+
+def plot_pls_1d_particles_runner(
+    pls,
+    particles: Array,
+    particle_name: str,
+    experiment_data: ExperimentData,
+    plot_particles_path: str,
+    inducing_points: Data | None = None,
+    coverage: float = 0.95,
+    plot_title: str | None = None,
+    number_of_particles_to_plot: int | None = None,
+    christmas_colours: bool = False,
+) -> None:
+    """Prediction/particle plots for PLS or its calibrated wrappers
+    (reference ``runners.py:190-328``)."""
+    from experiments.plotters import (
+        plot_1d_pls_prediction,
+        plot_1d_pls_prediction_histogram,
+    )
+
+    create_directory(plot_particles_path)
+    x_full = experiment_data.full.x
+    if isinstance(pls, PLS):
+        predicted_distribution = pls.predict(x=x_full, particles=particles, key=0)
+    elif isinstance(pls, ConformalisePLS):
+        predicted_distribution = pls.predict(x=x_full, coverage=coverage)
+    elif isinstance(pls, TemperPLS):
+        predicted_distribution = pls.predict(x=x_full)
+    else:
+        raise TypeError(f"Unknown PLS type: {type(pls)}")
+
+    predicted_samples = None
+    if isinstance(pls, PLS):
+        subset = (
+            particles[:, :number_of_particles_to_plot]
+            if number_of_particles_to_plot is not None
+            else particles
+        )
+        predicted_samples = pls.predict_samples(x=x_full, particles=subset, key=1)
+
+    plot_1d_pls_prediction(
+        experiment_data=experiment_data,
+        inducing_points=inducing_points,
+        x=x_full,
+        predicted_samples=predicted_samples,
+        predicted_distribution=predicted_distribution,
+        coverage=coverage,
+        title=plot_title,
+        save_path=os.path.join(plot_particles_path, f"particles-{particle_name}.png"),
+        christmas_colours=christmas_colours,
+    )
+    if experiment_data.full.y_untransformed is not None and isinstance(pls, PLS):
+        subset = (
+            particles[:, :number_of_particles_to_plot]
+            if number_of_particles_to_plot is not None
+            else particles
+        )
+        untransformed = pls.predict_untransformed_samples(
+            x=x_full, particles=subset, key=2
+        )
+        plot_1d_pls_prediction(
+            experiment_data=experiment_data,
+            x=x_full,
+            predicted_samples=untransformed,
+            y_name="$f(x)$",
+            title=f"{plot_title}: $f(x)$" if plot_title else None,
+            save_path=os.path.join(
+                plot_particles_path, f"untransformed-particles-{particle_name}.png"
+            ),
+            is_sample_untransformed=True,
+        )
+        if predicted_samples is not None:
+            plot_1d_pls_prediction_histogram(
+                experiment_data=experiment_data,
+                predicted_samples=predicted_samples,
+                untransformed_predicted_samples=untransformed,
+                title=plot_title,
+                save_path=os.path.join(
+                    plot_particles_path, f"histogram-{particle_name}.png"
+                ),
+            )
+
+
+def animate_pls_1d_particles_runner(
+    pls: PLS,
+    particles: Array,
+    particle_name: str,
+    experiment_data: ExperimentData,
+    animate_1d_path: str,
+    step_size: float,
+    number_of_epochs: int,
+    seed: int,
+    number_of_frames: int = 40,
+    christmas_colours: bool = False,
+    animate_1d_untransformed_path: str | None = None,
+    fast_path: str = "auto",
+) -> None:
+    """GIF of the particle evolution (reference ``runners.py`` animate
+    runners + ``plotters.py:656-990``): record snapshots along ONE run."""
+    from experiments.plotters import animate_1d_pls_predictions
+
+    create_directory(animate_1d_path)
+    chunk = max(number_of_epochs // number_of_frames, 1)
+    snapshots = [(0, particles)]
+    current = particles
+    for frame in range(number_of_frames):
+        current, _ = train_pls(
+            pls=pls,
+            particles=current,
+            number_of_epochs=chunk,
+            step_size=step_size,
+            early_stopper_patience=float("inf"),
+            seed=seed + frame,
+            fast_path=fast_path,
+        )
+        snapshots.append(((frame + 1) * chunk, current))
+
+    noise = pls.sample_predictive_noise(
+        particles=current, x=experiment_data.full.x, key=0
+    )
+    obs_noise = pls.sample_observation_noise(particles.shape[1], key=1)
+
+    def predict_fn(p):
+        return pls.predict_samples(
+            particles=p,
+            x=experiment_data.full.x,
+            predictive_noise=noise,
+            observation_noise=obs_noise,
+        )
+
+    animate_1d_pls_predictions(
+        experiment_data=experiment_data,
+        x=experiment_data.full.x,
+        snapshots=snapshots,
+        predict_fn=predict_fn,
+        title=f"PLS particles ({particle_name})",
+        save_path=os.path.join(animate_1d_path, f"pls-{particle_name}.gif"),
+        christmas_colours=christmas_colours,
+    )
+    if animate_1d_untransformed_path is not None:
+        create_directory(animate_1d_untransformed_path)
+
+        def predict_untransformed_fn(p):
+            return pls.predict_untransformed_samples(
+                particles=p, x=experiment_data.full.x, noise=noise
+            )
+
+        animate_1d_pls_predictions(
+            experiment_data=experiment_data,
+            x=experiment_data.full.x,
+            snapshots=snapshots,
+            predict_fn=predict_untransformed_fn,
+            title=f"PLS untransformed ({particle_name})",
+            save_path=os.path.join(
+                animate_1d_untransformed_path, f"pls-untransformed-{particle_name}.gif"
+            ),
+            christmas_colours=christmas_colours,
+        )

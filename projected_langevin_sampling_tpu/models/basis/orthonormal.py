@@ -50,6 +50,14 @@ class OrthonormalBasis(PLSBasisMixin):
     def dtype(self):
         return self.eigenvalues.dtype
 
+    @property
+    def eigenvectors(self) -> Array:
+        """Unscaled eigenvectors V = Vt * sqrt(M_k * lambda) (the reference
+        stores these separately, ``orthonormal.py:46-60``; used e.g. by the
+        mixture experiment's custom particle init)."""
+        scale = jnp.sqrt(self.approximation_dimension * self.eigenvalues)
+        return self.scaled_eigenvectors * scale[None, :]
+
     # --- particle initialisation -------------------------------------------
     def _initialise_particles(
         self,

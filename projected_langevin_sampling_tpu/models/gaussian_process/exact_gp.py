@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from projected_langevin_sampling_tpu.models.distributions import MultivariateNormal
-from projected_langevin_sampling_tpu.ops.kernels import ARDKernel, ard_gram
+from projected_langevin_sampling_tpu.ops.kernels import ARDKernel
 
 Array = jax.Array
 
@@ -39,7 +39,7 @@ class ExactGP:
         ``exact_gp.py:27-30`` forward)."""
         x = x[:, None] if x.ndim == 1 else x
         mean = self.mean_constant * jnp.ones(x.shape[0], dtype=x.dtype)
-        cov = ard_gram(self.kernel, x, x)
+        cov = self.kernel(x, x)
         return mean, cov
 
     def log_marginal_likelihood(self) -> Array:
@@ -61,11 +61,11 @@ class ExactGP:
         mean_train, k_train = self.prior(self.x_train)
         k_noisy = k_train + self.noise * jnp.eye(n, dtype=k_train.dtype)
         chol = jnp.linalg.cholesky(k_noisy)
-        k_cross = ard_gram(self.kernel, x, self.x_train)  # (N*, N)
+        k_cross = self.kernel(x, self.x_train)  # (N*, N)
         alpha = jax.scipy.linalg.cho_solve((chol, True), self.y_train - mean_train)
         mean = self.mean_constant + k_cross @ alpha
         v = jax.scipy.linalg.solve_triangular(chol, k_cross.T, lower=True)  # (N, N*)
-        var = ard_gram(self.kernel, x, x, diag=True) - jnp.sum(jnp.square(v), axis=0)
+        var = self.kernel(x, x, diag=True) - jnp.sum(jnp.square(v), axis=0)
         return MultivariateNormal(mean=mean, variance=jnp.maximum(var, 0.0))
 
     def predict_y(self, x: Array) -> MultivariateNormal:

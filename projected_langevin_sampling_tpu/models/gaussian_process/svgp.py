@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from projected_langevin_sampling_tpu.models.distributions import MultivariateNormal
-from projected_langevin_sampling_tpu.ops.kernels import ARDKernel, ard_gram
+from projected_langevin_sampling_tpu.ops.kernels import ARDKernel
 
 Array = jax.Array
 
@@ -46,7 +46,7 @@ class SVGP:
 
     def _chol_kzz(self) -> Array:
         m = self.num_inducing
-        k_zz = ard_gram(self.kernel, self.x_induce, self.x_induce)
+        k_zz = self.kernel(self.x_induce, self.x_induce)
         return jnp.linalg.cholesky(
             k_zz + self.jitter * jnp.eye(m, dtype=k_zz.dtype)
         )
@@ -56,10 +56,10 @@ class SVGP:
         rowsum((A C)^2), with A = K_xz L^{-T}."""
         x = x[:, None] if x.ndim == 1 else x
         chol = self._chol_kzz()
-        k_xz = ard_gram(self.kernel, x, self.x_induce)  # (N, M)
+        k_xz = self.kernel(x, self.x_induce)  # (N, M)
         a = jax.scipy.linalg.solve_triangular(chol, k_xz.T, lower=True).T  # (N, M)
         mean = self.mean_constant + a @ self.variational_mean
-        k_diag = ard_gram(self.kernel, x, x, diag=True)
+        k_diag = self.kernel(x, x, diag=True)
         ac = a @ self._chol_s
         var = k_diag - jnp.sum(jnp.square(a), axis=1) + jnp.sum(jnp.square(ac), axis=1)
         return MultivariateNormal(mean=mean, variance=jnp.maximum(var, 0.0))
@@ -130,8 +130,8 @@ def titsias_optimal_svgp(svgp: SVGP, x_train: Array, y_train: Array) -> SVGP:
     x_train = x_train[:, None] if x_train.ndim == 1 else x_train
     sigma2 = svgp.likelihood.noise
     m = svgp.num_inducing
-    k_zz = ard_gram(svgp.kernel, svgp.x_induce, svgp.x_induce)
-    k_zx = ard_gram(svgp.kernel, svgp.x_induce, x_train)
+    k_zz = svgp.kernel(svgp.x_induce, svgp.x_induce)
+    k_zx = svgp.kernel(svgp.x_induce, x_train)
     a = k_zz + (k_zx @ k_zx.T) / sigma2 + svgp.jitter * jnp.eye(m, dtype=k_zz.dtype)
     chol_a = jnp.linalg.cholesky(a)
     resid = y_train - svgp.mean_constant

@@ -90,11 +90,32 @@ def fit_exact_gp(
 # --------------------------------------------------------------------------
 # SVGP
 # --------------------------------------------------------------------------
+def _base_ard(kernel):
+    """The ARD leaf of a kernel — handles both a bare ARDKernel and a
+    PLSKernel wrapping one (the reference's SVGP baselines are built on the
+    PLS r-kernel, curves/regression/main.py:315-320)."""
+    from projected_langevin_sampling_tpu.ops.kernels import PLSKernel
+
+    return kernel.base_kernel if isinstance(kernel, PLSKernel) else kernel
+
+
+def _rebuild_kernel(template, log_lengthscales, log_outputscale):
+    from projected_langevin_sampling_tpu.ops.kernels import PLSKernel
+
+    ard = ARDKernel(
+        lengthscales=jnp.exp(log_lengthscales), outputscale=jnp.exp(log_outputscale)
+    )
+    if isinstance(template, PLSKernel):
+        return template.replace(base_kernel=ard)
+    return ard
+
+
 def _svgp_params(svgp: SVGP, learn_inducing_locations: bool):
+    ard = _base_ard(svgp.kernel)
     params = {
         "mean_constant": svgp.mean_constant,
-        "log_lengthscales": jnp.log(svgp.kernel.lengthscales),
-        "log_outputscale": jnp.log(svgp.kernel.outputscale),
+        "log_lengthscales": jnp.log(ard.lengthscales),
+        "log_outputscale": jnp.log(ard.outputscale),
         "variational_mean": svgp.variational_mean,
         "variational_chol": svgp.variational_chol,
     }
@@ -111,9 +132,8 @@ def _svgp_from_params(params, template: SVGP) -> SVGP:
         likelihood = likelihood.replace(noise=jnp.exp(params["log_noise"]))
     return template.replace(
         mean_constant=params["mean_constant"],
-        kernel=ARDKernel(
-            lengthscales=jnp.exp(params["log_lengthscales"]),
-            outputscale=jnp.exp(params["log_outputscale"]),
+        kernel=_rebuild_kernel(
+            template.kernel, params["log_lengthscales"], params["log_outputscale"]
         ),
         likelihood=likelihood,
         variational_mean=params["variational_mean"],

@@ -27,6 +27,133 @@ from projected_langevin_sampling_tpu.utils.prng import KeyArray, as_key
 Array = jax.Array
 
 
+# ---------------------------------------------------------------------------
+# Quadratic (Gaussian-identity) fast path
+# ---------------------------------------------------------------------------
+#
+# For the Gaussian cost with identity link the cost derivative is affine in
+# the train predictions, so the whole data term collapses algebraically:
+#
+#   data drift  = D^T (P U - y)/s   = (D^T P / s) U - D^T y / s
+#   total drift = A U - b,   A = D^T P / s + prior,   b = D^T y / s
+#   cost_j      = (U_j^T (P^T P) U_j - 2 (P^T y)^T U_j + y^T y) / (2 s)
+#
+# (P = train projection, D = data-drift matrix, s = observation noise
+# variance; for the ONB basis D == P so the drift matrix A is also the
+# energy quadratic + prior and ONE (M,M)@(M,J) matmul per step serves the
+# drift of this step AND the energy of the previous one.)
+#
+# The reference pays three (N,M)x(M,J) matmuls per training step for this
+# (orthonormal.py:106-108,151-158 + the energy recomputation); collapsing to
+# the M-space normal equations cuts per-step FLOPs by ~2N/M while computing
+# the exact same stochastic process (same drift, same noise — only fp
+# reassociation differs). Non-quadratic costs keep the general N-space path.
+
+
+def quadratic_fast_path_available(basis, cost) -> bool:
+    from projected_langevin_sampling_tpu.models.costs.gaussian import GaussianCost
+    from projected_langevin_sampling_tpu.models.link_functions import (
+        IdentityLinkFunction,
+    )
+
+    return isinstance(cost, GaussianCost) and isinstance(
+        cost.link_function, IdentityLinkFunction
+    )
+
+
+def spectral_fast_path_available(basis, cost) -> bool:
+    """The spectral tier additionally requires the ONB basis (symmetric drift
+    matrix + iid update noise, so the OU process diagonalises exactly)."""
+    from projected_langevin_sampling_tpu.models.basis.orthonormal import (
+        OrthonormalBasis,
+    )
+
+    return quadratic_fast_path_available(basis, cost) and isinstance(
+        basis, OrthonormalBasis
+    )
+
+
+def resolve_fast_path(basis, cost, fast_path: str) -> str:
+    """Resolve a fast-path request to the tier that will actually run.
+
+    Tiers (all compute the same posterior; see the module comment above):
+      "off"       — general N-space path, any cost.
+      "quadratic" — collapsed M-space normal equations. Identical TRAJECTORY
+                    to "off" given the same keys (fp reassociation only).
+      "spectral"  — ONB+Gaussian only: diagonalise A = Q S Q^T once and evolve
+                    W = Q^T U with a purely ELEMENTWISE recurrence — zero
+                    matmuls per step. Identical LAW (the iid Gaussian noise is
+                    rotation-invariant), but not the same sample path for a
+                    given key. Energies/posterior moments are distributed
+                    identically; early stopping behaves the same.
+      "auto"      — spectral if available, else quadratic, else off.
+    """
+    if fast_path == "auto":
+        if spectral_fast_path_available(basis, cost):
+            return "spectral"
+        if quadratic_fast_path_available(basis, cost):
+            return "quadratic"
+        return "off"
+    if fast_path == "spectral" and not spectral_fast_path_available(basis, cost):
+        raise ValueError("spectral fast path requires OrthonormalBasis + GaussianCost(identity)")
+    if fast_path == "quadratic" and not quadratic_fast_path_available(basis, cost):
+        raise ValueError("quadratic fast path requires GaussianCost(identity)")
+    assert fast_path in ("off", "quadratic", "spectral"), fast_path
+    return fast_path
+
+
+def _quadratic_system(basis, cost):
+    """Build (A, b, energy_matrix, energy_bias, energy_const, shared) inside
+    jit — the N-sized contractions run ONCE per compiled call, not per step."""
+    from projected_langevin_sampling_tpu.models.basis.inducing_point import (
+        InducingPointBasis,
+    )
+    from projected_langevin_sampling_tpu.models.basis.orthonormal import (
+        OrthonormalBasis,
+    )
+
+    p = basis.train_projection
+    y = cost.y_train
+    s = cost.observation_noise
+    pt_p = p.T @ p  # (M, M), one N-contraction per compiled call
+    pt_y = p.T @ y
+
+    if isinstance(basis, OrthonormalBasis):
+        prior = jnp.diag(1.0 / basis.eigenvalues)
+        a = pt_p / s + prior
+        b = pt_y / s
+        energy_matrix = a  # 0.5 U^T (P^T P / s + Lambda^{-1}) U
+        shared = True
+    elif isinstance(basis, InducingPointBasis):
+        d = basis.base_gram_induce_train.T  # (N, M)
+        m = basis.approximation_dimension
+        kinv = basis.inv_base_gram_induce
+        a = (d.T @ p) / s + m * kinv
+        b = (d.T @ y) / s
+        energy_matrix = pt_p / s + m * (kinv @ kinv)
+        shared = False
+    else:
+        raise TypeError(f"No quadratic fast path for {type(basis)}")
+    energy_bias = pt_y / s
+    energy_const = 0.5 * (y @ y) / s
+    return a, b, energy_matrix, energy_bias, energy_const, shared
+
+
+def _spectral_system(basis, cost):
+    """ONB+Gaussian: diagonalise the OU drift. Returns (sigma, q, b_rot,
+    energy_const) with A = q diag(sigma) q^T, b_rot = q^T b.
+
+    In rotated coordinates W = q^T U the update is elementwise:
+        W' = (1 - eta sigma) W + eta b_rot + sqrt(2 eta) eps
+    and the energy is 0.5 sum sigma W^2 - b_rot . W + const (the quadratic
+    forms are rotation-invariant). The eigh runs once per compiled call.
+    """
+    a, b, _, _, e_const, _ = _quadratic_system(basis, cost)
+    sigma, q = jnp.linalg.eigh(a)
+    b_rot = q.T @ b
+    return sigma, q, b_rot, e_const
+
+
 class TrainResult(NamedTuple):
     particles: Array  # (M, J) final particles
     energies: Array  # (number_of_epochs,) energy potential per step (NaN once stopped)
@@ -53,7 +180,9 @@ def _step(basis, cost, particles: Array, step_size, key: KeyArray):
     return new_particles, energy
 
 
-@functools.partial(jax.jit, static_argnames=("number_of_epochs",))
+@functools.partial(
+    jax.jit, static_argnames=("number_of_epochs", "fast_path")
+)
 def _train_pls_scan(
     basis,
     cost,
@@ -62,19 +191,68 @@ def _train_pls_scan(
     step_size,
     patience,
     number_of_epochs: int,
+    fast_path: str = "auto",
 ) -> TrainResult:
     dtype = particles.dtype
     step_size = jnp.asarray(step_size, dtype=dtype)
     patience = jnp.asarray(patience, dtype=dtype)
     keys = jax.random.split(key, number_of_epochs)
+    root2eta = jnp.sqrt(2.0 * step_size)
+    tier = resolve_fast_path(basis, cost, fast_path)
+
+    if tier == "spectral":
+        sigma, q_mat, b_rot, e_const = _spectral_system(basis, cost)
+        decay = 1.0 - step_size * sigma  # (M,)
+        shift = step_size * b_rot  # (M,)
+
+        def spectral_step(w, key_t):
+            noise = jax.random.normal(key_t, w.shape, dtype=dtype)
+            w_new = decay[:, None] * w + shift[:, None] + root2eta * noise
+            energy_j = (
+                0.5 * jnp.sum(sigma[:, None] * jnp.square(w_new), axis=0)
+                - b_rot @ w_new
+                + e_const
+            )
+            return w_new, jnp.mean(energy_j)
+
+        step_fn, carry0, finish = (
+            spectral_step,
+            q_mat.T @ particles,
+            lambda w: q_mat @ w,
+        )
+    elif tier == "quadratic":
+        a_mat, b_vec, e_mat, e_bias, e_const, shared = _quadratic_system(basis, cost)
+
+        def quadratic_step(carry, key_t):
+            """v carries A @ u (shared case) so one matmul per step covers the
+            drift at u and the energy at u'."""
+            u, v = carry
+            drift = (v if shared else a_mat @ u) - b_vec[:, None]
+            noise = basis.sample_update_noise(u.shape[1], key_t)
+            u_new = u - step_size * drift + root2eta * noise
+            v_new = (a_mat if shared else e_mat) @ u_new
+            energy_j = (
+                0.5 * jnp.sum(u_new * v_new, axis=0) - e_bias @ u_new + e_const
+            )
+            return (u_new, v_new), jnp.mean(energy_j)
+
+        step_fn = quadratic_step
+        carry0 = (particles, a_mat @ particles if shared else jnp.zeros_like(particles))
+        finish = lambda c: c[0]
+    else:
+
+        def general_step(u, key_t):
+            return _step(basis, cost, u, step_size, key_t)
+
+        step_fn, carry0, finish = general_step, particles, lambda u: u
 
     def body(carry, key_t):
-        u, min_loss, sim_time, stopped, steps = carry
+        state, min_loss, sim_time, stopped, steps = carry
 
-        u_new, energy = jax.lax.cond(
+        state_new, energy = jax.lax.cond(
             stopped,
-            lambda: (u, jnp.asarray(jnp.nan, dtype=dtype)),
-            lambda: _step(basis, cost, u, step_size, key_t),
+            lambda: (state, jnp.asarray(jnp.nan, dtype=dtype)),
+            lambda: step_fn(state, key_t),
         )
 
         # EarlyStopper.should_stop semantics (reference early_stopper.py:15-24)
@@ -89,22 +267,22 @@ def _train_pls_scan(
         stopped_out = stopped | should_stop
         steps_out = steps + jnp.where(stopped, 0, 1)
 
-        return (u_new, min_loss_out, sim_time_out, stopped_out, steps_out), (
+        return (state_new, min_loss_out, sim_time_out, stopped_out, steps_out), (
             energy,
             recorded,
         )
 
     init = (
-        particles,
+        carry0,
         jnp.asarray(jnp.inf, dtype=dtype),
         jnp.asarray(0.0, dtype=dtype),
         jnp.asarray(False),
         jnp.asarray(0, dtype=jnp.int32),
     )
-    (final_particles, _, _, _, steps_run), (energies, recorded) = jax.lax.scan(
+    (final_state, _, _, _, steps_run), (energies, recorded) = jax.lax.scan(
         body, init, keys
     )
-    return TrainResult(final_particles, energies, recorded, steps_run)
+    return TrainResult(finish(final_state), energies, recorded, steps_run)
 
 
 def train_pls(
@@ -115,9 +293,11 @@ def train_pls(
     early_stopper_patience: float = float("inf"),
     key: KeyArray | int | None = None,
     seed: int | None = None,
+    fast_path: str = "auto",
 ) -> tuple[Array, list[float]]:
     """Train PLS particles; returns (particles, energy_potentials) exactly like
-    reference ``experiments/trainers.py:139-162``."""
+    reference ``experiments/trainers.py:139-162``. ``fast_path`` selects the
+    algebraic specialisation tier (see ``resolve_fast_path``)."""
     if key is None and seed is not None:
         key = seed
     result = _train_pls_scan(
@@ -128,6 +308,7 @@ def train_pls(
         step_size,
         early_stopper_patience,
         int(number_of_epochs),
+        fast_path,
     )
     energies = [
         float(e) for e, r in zip(result.energies.tolist(), result.recorded.tolist()) if r
@@ -135,14 +316,46 @@ def train_pls(
     return result.particles, energies
 
 
-@functools.partial(jax.jit, static_argnames=("n_steps",))
+@functools.partial(jax.jit, static_argnames=("n_steps", "fast_path"))
 def langevin_steps(
-    basis, cost, particles: Array, key: KeyArray, step_size, n_steps: int
+    basis,
+    cost,
+    particles: Array,
+    key: KeyArray,
+    step_size,
+    n_steps: int,
+    fast_path: str = "auto",
 ) -> Array:
     """Throughput path: n_steps Langevin updates, no energy evaluation, no
-    early stopping — one train-prediction matmul chain per step."""
-    step_size = jnp.asarray(step_size, dtype=particles.dtype)
+    early stopping. Fast-path tiers as in ``resolve_fast_path``."""
+    dtype = particles.dtype
+    step_size = jnp.asarray(step_size, dtype=dtype)
     keys = jax.random.split(key, n_steps)
+    root2eta = jnp.sqrt(2.0 * step_size)
+    tier = resolve_fast_path(basis, cost, fast_path)
+
+    if tier == "spectral":
+        sigma, q_mat, b_rot, _ = _spectral_system(basis, cost)
+        decay = 1.0 - step_size * sigma
+        shift = step_size * b_rot
+
+        def spectral_body(w, key_t):
+            noise = jax.random.normal(key_t, w.shape, dtype=dtype)
+            return decay[:, None] * w + shift[:, None] + root2eta * noise, None
+
+        final_w, _ = jax.lax.scan(spectral_body, q_mat.T @ particles, keys)
+        return q_mat @ final_w
+
+    if tier == "quadratic":
+        a_mat, b_vec, _, _, _, _ = _quadratic_system(basis, cost)
+
+        def fast_body(u, key_t):
+            noise = basis.sample_update_noise(u.shape[1], key_t)
+            drift = a_mat @ u - b_vec[:, None]
+            return u - step_size * drift + root2eta * noise, None
+
+        final, _ = jax.lax.scan(fast_body, particles, keys)
+        return final
 
     def body(u, key_t):
         train_pred = basis.calculate_untransformed_train_prediction_samples(u)

@@ -1,0 +1,169 @@
+"""Fast-path tiers: the quadratic tier must reproduce the general path's
+trajectory exactly (same keys); the spectral tier must compute identical
+energies for identical particles and the identical stationary law."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from projected_langevin_sampling_tpu.models.basis import (
+    build_inducing_point_basis,
+    build_orthonormal_basis,
+)
+from projected_langevin_sampling_tpu.models.costs import BernoulliCost, GaussianCost
+from projected_langevin_sampling_tpu.models.link_functions import SquareLinkFunction
+from projected_langevin_sampling_tpu.models.pls import PLS
+from projected_langevin_sampling_tpu.ops.kernels import ARDKernel, PLSKernel
+from projected_langevin_sampling_tpu.training import (
+    _spectral_system,
+    _train_pls_scan,
+    langevin_steps,
+    resolve_fast_path,
+    train_pls,
+)
+from projected_langevin_sampling_tpu.utils.prng import as_key
+
+
+def _setup(which="onb"):
+    rng = np.random.default_rng(0)
+    n, m = 32, 8
+    x = jnp.asarray(np.sort(rng.uniform(-2, 2, (n, 1)), axis=0))
+    y = jnp.asarray(np.sin(2 * np.asarray(x)[:, 0]) + 0.1 * rng.normal(size=n))
+    base = ARDKernel(lengthscales=jnp.asarray([0.4]), outputscale=jnp.asarray(1.0))
+    kernel = PLSKernel(base_kernel=base, approximation_samples=x)
+    z = jnp.asarray(np.linspace(-2, 2, m)[:, None])
+    if which == "onb":
+        basis = build_orthonormal_basis(kernel, z, x, eigenvalue_threshold=1e-2, verbose=False)
+    else:
+        basis = build_inducing_point_basis(
+            kernel, z, jnp.asarray(np.sin(2 * np.linspace(-2, 2, m))), x
+        )
+    cost = GaussianCost(y_train=y, observation_noise=jnp.asarray(0.1))
+    return basis, cost
+
+
+@pytest.mark.parametrize("which", ["onb", "ipb"])
+def test_quadratic_matches_general_train(which):
+    basis, cost = _setup(which)
+    particles = basis.initialise_particles(16, key=0)
+    key = as_key(3)
+    fast = _train_pls_scan(basis, cost, particles, key, 1e-3, float("inf"), 40, "quadratic")
+    slow = _train_pls_scan(basis, cost, particles, key, 1e-3, float("inf"), 40, "off")
+    np.testing.assert_allclose(
+        np.asarray(fast.particles), np.asarray(slow.particles), rtol=1e-9, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast.energies), np.asarray(slow.energies), rtol=1e-8, atol=1e-10
+    )
+
+
+@pytest.mark.parametrize("which", ["onb", "ipb"])
+def test_quadratic_matches_general_langevin_steps(which):
+    basis, cost = _setup(which)
+    particles = basis.initialise_particles(16, key=0)
+    key = as_key(5)
+    fast = langevin_steps(basis, cost, particles, key, 1e-3, 40, "quadratic")
+    slow = langevin_steps(basis, cost, particles, key, 1e-3, 40, "off")
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(slow), rtol=1e-9, atol=1e-11)
+
+
+def test_tier_resolution():
+    onb, cost = _setup("onb")
+    ipb, _ = _setup("ipb")
+    assert resolve_fast_path(onb, cost, "auto") == "spectral"
+    assert resolve_fast_path(ipb, cost, "auto") == "quadratic"
+    bern = BernoulliCost(y_train=jnp.zeros(32))
+    assert resolve_fast_path(onb, bern, "auto") == "off"
+    nonlinear = GaussianCost(
+        y_train=jnp.zeros(32),
+        observation_noise=jnp.asarray(0.1),
+        link_function=SquareLinkFunction(),
+    )
+    assert resolve_fast_path(onb, nonlinear, "auto") == "off"
+    with pytest.raises(ValueError):
+        resolve_fast_path(ipb, cost, "spectral")
+    with pytest.raises(ValueError):
+        resolve_fast_path(onb, bern, "quadratic")
+
+
+def test_spectral_energy_identity():
+    """For the SAME particles, the spectral energy formula must equal the
+    facade's energy potential exactly (rotation invariance of the quadratic
+    forms)."""
+    basis, cost = _setup("onb")
+    pls = PLS(basis=basis, cost=cost)
+    sigma, q, b_rot, e_const = _spectral_system(basis, cost)
+    u = jnp.asarray(np.random.default_rng(1).normal(size=(basis.approximation_dimension, 12)))
+    w = q.T @ u
+    energy_spectral = float(
+        jnp.mean(
+            0.5 * jnp.sum(sigma[:, None] * jnp.square(w), axis=0) - b_rot @ w + e_const
+        )
+    )
+    energy_facade = float(pls.calculate_energy_potential(u))
+    assert energy_spectral == pytest.approx(energy_facade, rel=1e-9)
+
+
+def test_spectral_matches_stationary_law():
+    """Spectral and general paths share the stationary distribution: compare
+    empirical moments of both chains against each other."""
+    basis, cost = _setup("onb")
+    sigma2 = 0.1
+    p = np.asarray(basis.train_projection)
+    a = p.T @ p / sigma2 + np.diag(1.0 / np.asarray(basis.eigenvalues))
+    eta = 0.5 / np.linalg.eigvalsh(a).max()
+    steps = int(np.ceil(12.0 / (eta * np.linalg.eigvalsh(a).min())))
+    j = 4000
+    particles = basis.initialise_particles(j, key=0)
+    u_spec = np.asarray(
+        langevin_steps(basis, cost, particles, as_key(1), eta, steps, "spectral")
+    )
+    u_gen = np.asarray(
+        langevin_steps(basis, cost, particles, as_key(2), eta, steps, "quadratic")
+    )
+    se = np.sqrt(np.diag(np.cov(u_gen)) / j)
+    np.testing.assert_allclose(
+        u_spec.mean(axis=1), u_gen.mean(axis=1), atol=6 * np.max(se) + 1e-3
+    )
+    np.testing.assert_allclose(
+        np.diag(np.cov(u_spec)), np.diag(np.cov(u_gen)), rtol=0.3, atol=1e-6
+    )
+
+
+def test_fast_path_early_stopping_matches():
+    basis, cost = _setup("onb")
+    pls = PLS(basis=basis, cost=cost)
+    particles = pls.initialise_particles(16, key=0)
+    step = 1e-3
+    fast_p, fast_e = train_pls(
+        pls, particles, 3000, step, early_stopper_patience=15 * step,
+        key=as_key(7), fast_path="quadratic",
+    )
+    slow_p, slow_e = train_pls(
+        pls, particles, 3000, step, early_stopper_patience=15 * step,
+        key=as_key(7), fast_path="off",
+    )
+    assert len(fast_e) == len(slow_e)
+    np.testing.assert_allclose(np.asarray(fast_p), np.asarray(slow_p), rtol=1e-8, atol=1e-10)
+
+
+def test_spectral_train_pls_converges():
+    """End-to-end: the default (auto->spectral) train_pls converges to the
+    same posterior mean as the analytic solution."""
+    basis, cost = _setup("onb")
+    pls = PLS(basis=basis, cost=cost)
+    sigma2 = 0.1
+    p = np.asarray(basis.train_projection)
+    a = p.T @ p / sigma2 + np.diag(1.0 / np.asarray(basis.eigenvalues))
+    b = p.T @ np.asarray(cost.y_train) / sigma2
+    eta = 0.5 / np.linalg.eigvalsh(a).max()
+    steps = int(np.ceil(12.0 / (eta * np.linalg.eigvalsh(a).min())))
+    particles = pls.initialise_particles(2000, key=0)
+    trained, energies = train_pls(pls, particles, steps, eta, key=1)
+    assert energies[-1] < energies[0]
+    mean_exact = np.linalg.solve(a, b)
+    np.testing.assert_allclose(
+        np.asarray(trained).mean(axis=1), mean_exact,
+        atol=0.1 * np.abs(mean_exact).max() + 0.05,
+    )
