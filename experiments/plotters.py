@@ -129,6 +129,52 @@ def _plot_distribution_envelope(ax, x_plot, order, dist, coverage):
         ax.plot(x_plot[order], mean[order], c="tab:blue", label="loc")
 
 
+def plot_1d_gp_prediction(
+    x,
+    mean,
+    variance,
+    experiment_data: ExperimentData | None = None,
+    title: str | None = None,
+    save_path: str | None = None,
+    coverage: float = 0.95,
+):
+    """Envelope plot from explicit mean/variance arrays (reference
+    ``plotters.py`` plot_1d_gp_prediction)."""
+    dist = MultivariateNormal(mean=np.asarray(mean), variance=np.asarray(variance))
+    fig, ax = plt.subplots(figsize=(9, 4.5))
+    x_plot, order = _sorted_1d(x)
+    _plot_distribution_envelope(ax, x_plot, order, dist, coverage)
+    if experiment_data is not None and experiment_data.train is not None:
+        ax.scatter(np.asarray(experiment_data.train.x)[:, 0],
+                   np.asarray(experiment_data.train.y), s=8, c="k", alpha=0.4)
+    ax.legend(fontsize=8)
+    if title:
+        ax.set_title(title)
+    return _finish(fig, save_path)
+
+
+def plot_1d_conformal_prediction(
+    model,
+    experiment_data: ExperimentData,
+    title: str | None = None,
+    save_path: str | None = None,
+    coverage: float = 0.95,
+):
+    """Conformal interval plot over the full input range (reference
+    ``plotters.py`` plot_1d_conformal_prediction)."""
+    prediction = model.predict(experiment_data.full.x, coverage=coverage)
+    fig, ax = plt.subplots(figsize=(9, 4.5))
+    x_plot, order = _sorted_1d(experiment_data.full.x)
+    _plot_distribution_envelope(ax, x_plot, order, prediction, coverage)
+    if experiment_data.train is not None:
+        ax.scatter(np.asarray(experiment_data.train.x)[:, 0],
+                   np.asarray(experiment_data.train.y), s=8, c="k", alpha=0.4)
+    ax.legend(fontsize=8)
+    if title:
+        ax.set_title(title)
+    return _finish(fig, save_path)
+
+
 def plot_1d_gp_prediction_and_inducing_points(
     model,
     experiment_data: ExperimentData,

@@ -96,6 +96,18 @@ class StudentTMarginals:
     def mean(self) -> Array:
         return self.loc
 
+    @property
+    def variance(self) -> Array:
+        """scale^2 df/(df-2) for df > 2; scale^2 otherwise (finite fallback,
+        used when tempering wraps a Student-T PLS in debug mode)."""
+        if self.df > 2:
+            return jnp.square(self.scale) * (self.df / (self.df - 2.0))
+        return jnp.square(self.scale)
+
+    @property
+    def covariance_matrix(self) -> Array:
+        return jnp.diag(self.variance)
+
     def log_prob(self, y: Array) -> Array:
         df = jnp.asarray(self.df, dtype=self.loc.dtype)
         z = (y - self.loc) / self.scale

@@ -4,7 +4,10 @@ from __future__ import annotations
 
 import jax
 
-from projected_langevin_sampling_tpu.models.distributions import MultivariateNormal
+from projected_langevin_sampling_tpu.models.distributions import (
+    MultivariateNormal,
+    StudentTMarginals,
+)
 from projected_langevin_sampling_tpu.models.temper.base import TemperBase
 
 Array = jax.Array
@@ -12,7 +15,9 @@ Array = jax.Array
 
 class TemperGP(TemperBase):
     """Temper the predictive variance of an ExactGP or SVGP (the reference's
-    ``gp.likelihood(gp(x))`` is our ``gp.predict_y``)."""
+    ``gp.likelihood(gp(x))`` is our ``gp.predict_y``). Student-T predictive
+    marginals are moment-matched to a Gaussian, like the reference tempering a
+    gpytorch StudentTLikelihood marginal through mean/covariance."""
 
     def __init__(self, gp, x_calibration: Array, y_calibration: Array):
         self.gp = gp
@@ -20,5 +25,9 @@ class TemperGP(TemperBase):
 
     def _untempered_predict(self, x: Array) -> MultivariateNormal:
         prediction = self.gp.predict_y(x)
+        if isinstance(prediction, StudentTMarginals):
+            return MultivariateNormal(
+                mean=prediction.mean, variance=prediction.variance
+            )
         assert isinstance(prediction, MultivariateNormal)
         return prediction

@@ -180,6 +180,28 @@ def _step(basis, cost, particles: Array, step_size, key: KeyArray):
     return new_particles, energy
 
 
+def _step_carry_pred(basis, cost, particles: Array, train_pred: Array, step_size, key):
+    """General-path step that CARRIES the train predictions F = P @ U across
+    steps: the F computed for this step's energy is next step's derivative
+    input — 2 big matmuls per training step instead of the reference's 3
+    (same math; the reference recomputes F twice per step,
+    orthonormal.py:106-108 + the energy path)."""
+    cost_derivative = cost.calculate_cost_derivative(train_pred)
+    noise = basis.sample_update_noise(particles.shape[1], key)
+    update = basis._calculate_particle_update(
+        particles=particles,
+        cost_derivative=cost_derivative,
+        step_size=step_size,
+        noise=noise,
+    )
+    new_particles = particles + update
+    new_pred = basis.calculate_untransformed_train_prediction_samples(new_particles)
+    energy = basis.calculate_energy_potential(
+        particles=new_particles, cost=cost.calculate_cost(new_pred)
+    )
+    return new_particles, new_pred, energy
+
+
 @functools.partial(
     jax.jit, static_argnames=("number_of_epochs", "fast_path")
 )
@@ -241,10 +263,15 @@ def _train_pls_scan(
         finish = lambda c: c[0]
     else:
 
-        def general_step(u, key_t):
-            return _step(basis, cost, u, step_size, key_t)
+        def general_step(carry, key_t):
+            u, pred = carry
+            u_new, pred_new, energy = _step_carry_pred(
+                basis, cost, u, pred, step_size, key_t
+            )
+            return (u_new, pred_new), energy
 
-        step_fn, carry0, finish = general_step, particles, lambda u: u
+        pred0 = basis.calculate_untransformed_train_prediction_samples(particles)
+        step_fn, carry0, finish = general_step, (particles, pred0), lambda c: c[0]
 
     def body(carry, key_t):
         state, min_loss, sim_time, stopped, steps = carry

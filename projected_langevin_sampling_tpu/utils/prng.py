@@ -41,3 +41,12 @@ def normal(
     """Gaussian draws with explicit mean/stdev, matching the reference's
     ``torch.normal(mean, std, size)`` call shape (``basis/base.py:38-63``)."""
     return mean + stdev * jax.random.normal(key, shape, dtype=dtype)
+
+
+def sample_point(key: KeyArray | int | None, x: jax.Array) -> jax.Array:
+    """Pick one random row of x, keeping the leading axis (size 1) — the
+    reference's ``sample_point`` (``src/samplers.py:47-62``), used to centre
+    the kNN training subsample."""
+    key = as_key(key)
+    idx = jax.random.randint(key, (), 0, x.shape[0])
+    return jax.lax.dynamic_slice_in_dim(x, idx, 1, axis=0)

@@ -1,0 +1,190 @@
+"""Experiment-harness tests: splits, metrics dispatch, early stopper, data
+persistence, runners on tiny problems — the tier the reference leaves
+untested (SURVEY.md §4 notes the harness has no tests)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from experiments.curves.curves import CURVE_FUNCTIONS, Curve2
+from experiments.data import Data, ExperimentData, ProblemType
+from experiments.early_stopper import EarlyStopper
+from experiments.metrics import (
+    calculate_coverage,
+    calculate_mae,
+    calculate_mse,
+    calculate_nll,
+)
+from experiments.preprocess import (
+    set_up_experiment,
+    split_regression_data,
+    split_regression_data_intervals,
+)
+from projected_langevin_sampling_tpu.models.conformalise.base import ConformalPrediction
+from projected_langevin_sampling_tpu.models.distributions import (
+    Bernoulli,
+    MultivariateNormal,
+    Poisson,
+    StudentTMarginals,
+)
+
+
+def test_early_stopper_semantics():
+    s = EarlyStopper(patience=0.3)
+    assert not s.should_stop(1.0, 0.1)  # improvement resets
+    assert not s.should_stop(2.0, 0.1)  # worse: time 0.1
+    assert not s.should_stop(2.0, 0.1)  # worse: time 0.2
+    assert s.should_stop(2.0, 0.1)  # worse: time 0.3 >= patience
+    s2 = EarlyStopper(patience=10.0)
+    assert s2.should_stop(float("nan"), 0.1)  # non-finite stops immediately
+
+
+def test_interval_split_covers_everything_once():
+    x = jnp.arange(120, dtype=jnp.float64).reshape(-1, 1)
+    y = jnp.arange(120, dtype=jnp.float64)
+    x_tr, y_tr, _, x_te, y_te, _ = split_regression_data_intervals(
+        split_seed=0, x=x, y=y, number_of_test_intervals=2,
+        total_number_of_intervals=12,
+    )
+    combined = np.sort(np.concatenate([np.asarray(x_tr)[:, 0], np.asarray(x_te)[:, 0]]))
+    np.testing.assert_array_equal(combined, np.arange(120))
+    # edges always in the test split (reference preprocess.py:22-29)
+    assert 0.0 in np.asarray(x_te) and 119.0 in np.asarray(x_te)
+    # 2 interior + 4 edge intervals of size 10
+    assert x_te.shape[0] == 60
+
+
+def test_set_up_experiment_normalises_train_targets():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(100, 2)))
+    y = jnp.asarray(5.0 + 3.0 * rng.normal(size=100))
+    ed = set_up_experiment(
+        name="t", problem_type=ProblemType.REGRESSION, seed=0, x=x, y=y,
+        train_data_percentage=0.7, validation_data_percentage=0.1,
+    )
+    assert abs(float(jnp.mean(ed.train.y))) < 1e-9
+    assert abs(float(jnp.std(ed.train.y, ddof=1)) - 1.0) < 1e-9
+    assert ed.validation is not None
+    assert ed.y_std > 1.0
+    n_total = ed.train.x.shape[0] + ed.test.x.shape[0] + ed.validation.x.shape[0]
+    assert n_total == 100
+
+
+def test_split_regression_data_proportions():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(200, 1)))
+    y = jnp.asarray(rng.normal(size=200))
+    x_tr, y_tr, x_te, y_te, x_va, y_va = split_regression_data(
+        seed=0, x=x, y=y, train_data_percentage=0.5,
+        validation_data_percentage=0.25, test_data_percentage=0.25,
+    )
+    assert x_tr.shape[0] == 100 and x_te.shape[0] == 50 and x_va.shape[0] == 50
+
+
+def test_experiment_data_roundtrip(tmp_path):
+    ed = ExperimentData(
+        name="t",
+        problem_type=ProblemType.REGRESSION,
+        full=Data(x=jnp.ones((4, 1)), y=jnp.zeros(4), name="full"),
+        train=Data(x=jnp.ones((2, 1)), y=jnp.zeros(2), name="train"),
+        test=Data(x=jnp.ones((2, 1)), y=jnp.zeros(2), name="test"),
+        y_mean=1.5,
+        y_std=2.0,
+    )
+    path = os.path.join(tmp_path, "ed.pkl")
+    ed.save(path)
+    loaded = ExperimentData.load(path, ProblemType.REGRESSION)
+    assert loaded.y_mean == 1.5 and loaded.y_std == 2.0
+    np.testing.assert_array_equal(np.asarray(loaded.train.x), np.ones((2, 1)))
+    assert loaded.validation is None
+
+
+def test_metric_dispatch_across_prediction_types():
+    y = jnp.asarray([0.0, 1.0, 2.0])
+    mvn = MultivariateNormal(mean=y + 0.5, variance=jnp.ones(3))
+    assert calculate_mae(mvn, y) == pytest.approx(0.5)
+    assert calculate_mse(mvn, y) == pytest.approx(0.25)
+    assert np.isfinite(calculate_nll(mvn, y))
+
+    bern = Bernoulli(probs=jnp.asarray([0.2, 0.8, 0.9]))
+    y_bin = jnp.asarray([0.0, 1.0, 1.0])
+    assert calculate_mae(bern, y_bin) == pytest.approx((0.2 + 0.2 + 0.1) / 3)
+    assert np.isfinite(calculate_nll(bern, y_bin))
+
+    pois = Poisson(rate=jnp.asarray([1.0, 2.0, 3.0]))
+    assert np.isfinite(calculate_nll(pois, y + 1))
+
+    st = StudentTMarginals(df=4.0, loc=y, scale=jnp.ones(3))
+    assert calculate_mse(st, y) == pytest.approx(0.0)
+
+    conf = ConformalPrediction(
+        coverage=2 / 3, mean=y, lower=y - 1.0, upper=y + 1.0
+    )
+    assert calculate_coverage(conf, y) == 1.0
+    assert np.isfinite(calculate_nll(conf, y))
+    with pytest.raises(AssertionError):
+        calculate_nll(
+            ConformalPrediction(coverage=0.9, mean=y, lower=y - 1, upper=y + 1), y
+        )
+
+
+def test_curves_standardised_and_reproducible():
+    x = jnp.linspace(-3, 3, 200).reshape(-1, 1)
+    for curve in CURVE_FUNCTIONS:
+        c = curve.calculate_curve(x)
+        assert abs(float(jnp.mean(c))) < 1e-8
+        assert abs(float(jnp.std(c, ddof=1)) - 1.0) < 1e-8
+    y1 = Curve2().regression(x, sigma_true=0.2, key=7)
+    y2 = Curve2().regression(x, sigma_true=0.2, key=7)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    labels = Curve2().classification(y_curve=2 * Curve2().calculate_curve(x).reshape(-1), key=0)
+    assert set(np.unique(np.asarray(labels))) <= {False, True}
+
+
+def test_train_pls_runner_step_size_search(tmp_path):
+    """End-to-end runner on a tiny problem: returns finite particles and a
+    selected step size from the log-spaced grid."""
+    from experiments.runners import train_pls_runner
+    from projected_langevin_sampling_tpu.models.basis import build_orthonormal_basis
+    from projected_langevin_sampling_tpu.models.costs import GaussianCost
+    from projected_langevin_sampling_tpu.models.pls import PLS
+    from projected_langevin_sampling_tpu.ops.kernels import ARDKernel, PLSKernel
+
+    rng = np.random.default_rng(0)
+    n = 40
+    x = jnp.asarray(np.sort(rng.uniform(-2, 2, (n, 1)), axis=0))
+    y = jnp.asarray(np.sin(2 * np.asarray(x)[:, 0]) + 0.1 * rng.normal(size=n))
+    kernel = PLSKernel(
+        base_kernel=ARDKernel(jnp.asarray([0.5]), jnp.asarray(1.0)),
+        approximation_samples=x,
+    )
+    basis = build_orthonormal_basis(
+        kernel, x[::5], x, eigenvalue_threshold=1e-3, verbose=False
+    )
+    cost = GaussianCost(y_train=y, observation_noise=jnp.asarray(0.1))
+    pls = PLS(basis=basis, cost=cost)
+    ed = ExperimentData(
+        name="t", problem_type=ProblemType.REGRESSION,
+        full=Data(x=x, y=y, name="full"),
+        train=Data(x=x, y=y, name="train"),
+        test=Data(x=x, y=y, name="test"),
+    )
+    particles = pls.initialise_particles(16, key=0)
+    out, best_lr, epochs = train_pls_runner(
+        pls=pls,
+        particles=particles,
+        particle_name="t",
+        experiment_data=ed,
+        simulation_duration=1e-2,
+        maximum_number_of_steps=1000,
+        early_stopper_patience=float("inf"),
+        number_of_step_searches=3,
+        step_size_upper=1e-3,
+        minimum_change_in_energy_potential=1e-6,
+        seed=0,
+        metric_to_optimise="loss",
+    )
+    assert np.all(np.isfinite(np.asarray(out)))
+    assert best_lr is not None and epochs > 0

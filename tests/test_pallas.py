@@ -1,0 +1,134 @@
+"""Pallas fused-update kernel vs the unfused XLA path (interpret mode on the
+CPU backend; the compiled kernel runs on real TPU in bench/production)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from projected_langevin_sampling_tpu.models.basis import (
+    build_inducing_point_basis,
+    build_orthonormal_basis,
+)
+from projected_langevin_sampling_tpu.models.costs import (
+    BernoulliCost,
+    GaussianCost,
+    PoissonCost,
+    StudentTCost,
+)
+from projected_langevin_sampling_tpu.ops.kernels import ARDKernel, PLSKernel
+from projected_langevin_sampling_tpu.ops.pallas import (
+    dc_fn_for_cost,
+    fused_langevin_update,
+)
+
+N, M, J = 70, 16, 24  # deliberately not multiples of the tile sizes
+ETA = 1e-3
+
+
+def _setup(which="onb"):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(np.sort(rng.uniform(-2, 2, (N, 1)), axis=0), dtype=jnp.float32)
+    kernel = PLSKernel(
+        base_kernel=ARDKernel(
+            jnp.asarray([0.4], dtype=jnp.float32), jnp.asarray(1.0, dtype=jnp.float32)
+        ),
+        approximation_samples=x,
+    )
+    z = jnp.asarray(np.linspace(-2, 2, M)[:, None], dtype=jnp.float32)
+    if which == "onb":
+        basis = build_orthonormal_basis(
+            kernel, z, x, eigenvalue_threshold=1e-4, verbose=False
+        )
+    else:
+        y_ind = jnp.asarray(np.sin(np.linspace(-2, 2, M)), dtype=jnp.float32)
+        basis = build_inducing_point_basis(kernel, z, y_ind, x)
+    return basis, x
+
+
+def _reference_update(basis, cost, u, noise, eta=ETA):
+    pred = basis.calculate_untransformed_train_prediction_samples(u)
+    dc = cost.calculate_cost_derivative(pred)
+    return u + basis.calculate_particle_update(u, dc, eta, noise=noise)
+
+
+def _fused(basis, cost, u, noise, which):
+    dc_fn = dc_fn_for_cost(cost)
+    assert dc_fn is not None
+    if which == "onb":
+        return fused_langevin_update(
+            p=basis.train_projection,
+            d=basis.train_projection,
+            y=cost.y_train.astype(jnp.float32),
+            u=u,
+            prior=1.0 / basis.eigenvalues,
+            noise=noise,
+            dc_fn=dc_fn,
+            eta=ETA,
+            prior_is_diag=True,
+            n_tile=32,
+            j_tile=16,
+            interpret=True,
+        )
+    m = basis.approximation_dimension
+    return fused_langevin_update(
+        p=basis.train_projection,
+        d=basis.base_gram_induce_train.T,
+        y=cost.y_train.astype(jnp.float32),
+        u=u,
+        prior=m * basis.inv_base_gram_induce,
+        noise=noise,
+        dc_fn=dc_fn,
+        eta=ETA,
+        prior_is_diag=False,
+        n_tile=32,
+        j_tile=16,
+        interpret=True,
+    )
+
+
+def _costs(rng, dtype=jnp.float32):
+    y = jnp.asarray(np.sin(2 * np.linspace(-2, 2, N)) + 0.1 * rng.normal(size=N), dtype=dtype)
+    y_bin = jnp.asarray((rng.uniform(size=N) > 0.5).astype(np.float32))
+    y_cnt = jnp.asarray(rng.poisson(3.0, N).astype(np.float32))
+    return {
+        "gaussian": GaussianCost(y_train=y, observation_noise=jnp.asarray(0.1, dtype=dtype)),
+        "bernoulli": BernoulliCost(y_train=y_bin),
+        "poisson": PoissonCost(y_train=y_cnt),
+        "student_t": StudentTCost(y_train=y, degrees_of_freedom=4.0, scale=0.5),
+    }
+
+
+@pytest.mark.parametrize("which", ["onb", "ipb"])
+@pytest.mark.parametrize("cost_name", ["gaussian", "bernoulli", "poisson", "student_t"])
+def test_fused_update_matches_unfused(which, cost_name):
+    rng = np.random.default_rng(1)
+    basis, x = _setup(which)
+    cost = _costs(rng)[cost_name]
+    m = basis.approximation_dimension
+    u = jnp.asarray(rng.normal(size=(m, J)), dtype=jnp.float32)
+    if cost_name == "poisson":
+        # keep f away from 0 (the derivative has a 1/f pole)
+        u = u + 2.0
+    noise = jnp.asarray(rng.normal(size=(m, J)), dtype=jnp.float32)
+    expected = _reference_update(basis, cost, u, noise)
+    fused = _fused(basis, cost, u, noise, which)
+    # the Poisson derivative's 1/f pole amplifies f32 accumulation-order
+    # differences between the fused and unfused matmuls
+    rtol = 5e-3 if cost_name == "poisson" else 2e-4
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(expected), rtol=rtol, atol=2e-5
+    )
+
+
+def test_dc_fn_dispatch():
+    rng = np.random.default_rng(2)
+    costs = _costs(rng)
+    for cost in costs.values():
+        assert dc_fn_for_cost(cost) is not None
+    from projected_langevin_sampling_tpu.models.costs import MultiModalCost
+
+    mm = MultiModalCost(
+        y_train=jnp.zeros(N), observation_noise=jnp.asarray(1.0),
+        shift=1.0, bernoulli_noise=0.5,
+    )
+    assert dc_fn_for_cost(mm) is None  # autograd-only cost -> XLA path
