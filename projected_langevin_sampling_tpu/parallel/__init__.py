@@ -1,3 +1,4 @@
+from projected_langevin_sampling_tpu.parallel.auto import parallel_train_pls
 from projected_langevin_sampling_tpu.parallel.mesh import (
     DATA_AXIS,
     PARTICLE_AXIS,
@@ -14,6 +15,7 @@ __all__ = [
     "DATA_AXIS",
     "PARTICLE_AXIS",
     "make_mesh",
+    "parallel_train_pls",
     "ShardedPLSOperators",
     "operators_from_basis",
     "parallel_langevin_steps",

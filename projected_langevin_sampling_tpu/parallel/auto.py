@@ -1,0 +1,61 @@
+"""GSPMD-auto multi-chip training: run the SAME `_train_pls_scan` program
+with the particle matrix sharded over the mesh and let XLA partition.
+
+Complements the explicit shard_map path in ``sharded.py``:
+
+  * this path reuses every fast-path tier (spectral/quadratic/general) —
+    the spectral tier in particular is purely elementwise per step, so the
+    partitioned program has ZERO per-step communication on the particle axis;
+  * noise draws are identical to the single-device program (threefry is a
+    pointwise function of (key, position)), so results match single-device
+    bit-for-bit up to reduction order.
+
+Basis/cost operands stay replicated (M is small); shard over "data" too if
+N-sized arrays dominate HBM — the general path's matmuls then psum once per
+step, which GSPMD inserts automatically.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from projected_langevin_sampling_tpu.parallel.mesh import PARTICLE_AXIS
+from projected_langevin_sampling_tpu.training import TrainResult, _train_pls_scan
+from projected_langevin_sampling_tpu.utils.prng import KeyArray, as_key
+
+Array = jax.Array
+
+
+def parallel_train_pls(
+    mesh: Mesh,
+    pls_or_basis,
+    cost=None,
+    particles: Array | None = None,
+    number_of_epochs: int = 1,
+    step_size: float = 1e-3,
+    early_stopper_patience: float = float("inf"),
+    key: KeyArray | int | None = None,
+    fast_path: str = "auto",
+) -> TrainResult:
+    """Sharded-train: particles distributed over the mesh's particle axis,
+    everything else replicated; same semantics as ``training.train_pls``."""
+    if cost is None:  # called with a PLS facade
+        basis, cost = pls_or_basis.basis, pls_or_basis.cost
+    else:
+        basis = pls_or_basis
+    particle_sharding = NamedSharding(mesh, P(None, PARTICLE_AXIS))
+    replicated = NamedSharding(mesh, P())
+    particles = jax.device_put(particles, particle_sharding)
+    basis = jax.device_put(basis, replicated)
+    cost = jax.device_put(cost, replicated)
+    return _train_pls_scan(
+        basis,
+        cost,
+        particles,
+        as_key(key),
+        step_size,
+        early_stopper_patience,
+        int(number_of_epochs),
+        fast_path,
+    )

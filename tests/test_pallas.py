@@ -132,3 +132,22 @@ def test_dc_fn_dispatch():
         shift=1.0, bernoulli_noise=0.5,
     )
     assert dc_fn_for_cost(mm) is None  # autograd-only cost -> XLA path
+
+
+def test_pallas_gram_matches_xla():
+    from projected_langevin_sampling_tpu.ops.kernels import ard_gram
+    from projected_langevin_sampling_tpu.ops.pallas import pallas_ard_gram
+
+    rng = np.random.default_rng(3)
+    x1 = jnp.asarray(rng.normal(size=(100, 3)), dtype=jnp.float32)
+    x2 = jnp.asarray(rng.normal(size=(70, 3)), dtype=jnp.float32)
+    kernel = ARDKernel(
+        lengthscales=jnp.asarray([0.5, 1.0, 2.0], dtype=jnp.float32),
+        outputscale=jnp.asarray(1.7, dtype=jnp.float32),
+    )
+    expected = ard_gram(kernel, x1, x2)
+    got = pallas_ard_gram(
+        x1 / kernel.lengthscales, x2 / kernel.lengthscales,
+        outputscale=1.7, tile=32, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=2e-5, atol=1e-6)

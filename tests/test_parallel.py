@@ -137,3 +137,36 @@ def test_energy_matches_single_device_definition():
     pls = PLS(basis=basis, cost=cost)
     expected = float(pls.calculate_energy_potential(jnp.asarray(np.asarray(final))))
     assert float(energies[0]) == pytest.approx(expected, rel=1e-9)
+
+
+def test_auto_sharded_train_matches_single_device():
+    """GSPMD path: jit-partitioned _train_pls_scan with particle-sharded
+    inputs must match the unsharded program (threefry draws are position-
+    deterministic, so same key -> same chain up to reduction order)."""
+    from projected_langevin_sampling_tpu.models.pls import PLS
+    from projected_langevin_sampling_tpu.parallel import parallel_train_pls
+    from projected_langevin_sampling_tpu.training import _train_pls_scan
+    from projected_langevin_sampling_tpu.utils.prng import as_key
+
+    x, y, z, y_induce, kernel = _setup()
+    basis = build_orthonormal_basis(kernel, z, x, eigenvalue_threshold=1e-2, verbose=False)
+    cost = GaussianCost(y_train=y, observation_noise=jnp.asarray(SIGMA2))
+    pls = PLS(basis=basis, cost=cost)
+    particles = pls.initialise_particles(32, key=0)
+    mesh = make_mesh(1, 8)
+    for fast_path in ["off", "quadratic", "spectral"]:
+        sharded = parallel_train_pls(
+            mesh, pls, particles=particles, number_of_epochs=20,
+            step_size=1e-3, key=as_key(3), fast_path=fast_path,
+        )
+        single = _train_pls_scan(
+            basis, cost, particles, as_key(3), 1e-3, float("inf"), 20, fast_path
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded.particles), np.asarray(single.particles),
+            rtol=1e-8, atol=1e-10, err_msg=fast_path,
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded.energies), np.asarray(single.energies),
+            rtol=1e-8, atol=1e-10, err_msg=fast_path,
+        )
