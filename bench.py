@@ -63,15 +63,21 @@ def main():
     n_steps = 20_000
     patience = float("inf")
 
+    # the fused Pallas tier needs the TPU's hardware PRNG; fall back to the
+    # XLA spectral tier elsewhere
+    fast_path = "spectral_fused" if jax.default_backend() != "cpu" else "auto"
+
     # warmup / compile
-    result = _train_pls_scan(basis, cost, particles, key, 1e-4, patience, n_steps)
+    result = _train_pls_scan(
+        basis, cost, particles, key, 1e-4, patience, n_steps, fast_path
+    )
     jax.block_until_ready(result.particles)
 
     times = []
     for rep in range(3):
         start = time.perf_counter()
         result = _train_pls_scan(
-            basis, cost, particles, key, 1e-4, patience, n_steps
+            basis, cost, particles, key, 1e-4, patience, n_steps, fast_path
         )
         jax.block_until_ready(result.particles)
         times.append(time.perf_counter() - start)

@@ -17,6 +17,13 @@ callable ``dc_fn(f_tile, y_tile) -> dc_tile`` — Pallas inlines it into the
 kernel (closed forms for Gaussian/Bernoulli/Poisson/Student-T below; any
 differentiable cost works via ``jax.grad`` of its pointwise log-density).
 
+Status: numerically verified against the unfused path (max diff ~5e-7 at
+bench scale) but measured ~2x SLOWER than XLA's pipelined matmul schedule on
+the available v5e chip (2.6 vs 1.2 ms/call at N=5000, M=512, J=1000), so the
+XLA path remains the default; this kernel is the tuning vehicle for future
+rounds (candidate wins: larger J tiles, bf16 input blocks, double-buffered
+P streaming).
+
 Reference behaviour being fused: basis/orthonormal.py:128-159 +
 costs/*.py closed-form derivatives + trainers.py:149-161 ``particles += update``.
 """

@@ -1,0 +1,157 @@
+"""Pallas TPU kernel: the ENTIRE spectral Langevin training run in one launch.
+
+For the spectral tier (ONB basis + Gaussian-identity cost, see
+``training.py``) a training step is elementwise in rotated coordinates:
+
+    W' = decay * W + shift + sqrt(2 eta) * eps,   eps ~ N(0, I)
+    energy = mean_j [ 0.5 sum_i sigma_i W'^2_ij - b_i W'_ij ] + const
+
+This kernel runs ALL T steps inside a single Pallas program: the (M, J)
+particle matrix stays resident in VMEM for the whole run (2 MB at the
+benchmark scale — far under the ~16 MB budget), noise comes from the TPU's
+hardware PRNG (Box-Muller over ``pltpu.prng_random_bits``), the per-step
+energy reduction is local, and the reference's simulation-time early
+stopping (``experiments/early_stopper.py:4-24``) runs in-kernel so particles
+freeze at exactly the reference's stopping step. HBM traffic for the whole
+training run: read W0 + constants once, write W_final + the (T,) energy
+trace once — zero bytes per step.
+
+Distribution note: like the spectral tier itself, draws come from a
+different PRNG stream than the XLA path (hardware PRNG vs threefry) — the
+law is identical; parity tests are distributional.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_TWO_PI = 6.283185307179586
+
+
+def _standard_normals(shape):
+    """Box-Muller over hardware random bits -> N(0, 1) samples of ``shape``."""
+    bits1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    bits2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # uniform in [0, 1): set exponent to 1.0's, random mantissa -> [1, 2), then -1
+    u1 = pltpu.bitcast((bits1 >> 9) | jnp.uint32(0x3F800000), jnp.float32) - 1.0
+    u2 = pltpu.bitcast((bits2 >> 9) | jnp.uint32(0x3F800000), jnp.float32) - 1.0
+    # log1p(-u1) = log(1 - u1) <= 0 exactly for u1 in [0, 1)
+    r = jnp.sqrt(-2.0 * jnp.log1p(-u1))
+    return r * jnp.cos(_TWO_PI * u2)
+
+
+def _spectral_train_kernel(
+    w_ref,  # (M, J) initial particles (input)
+    decay_ref,  # (M, 1)
+    shift_ref,  # (M, 1)
+    sigma_ref,  # (M, 1)
+    b_ref,  # (M, 1)
+    scalar_ref,  # (1, 4) SMEM: [seed, eta, patience, e_const]
+    out_ref,  # (M, J) final particles
+    energy_ref,  # (T, 1) energy trace (NaN once stopped)
+    *,
+    num_steps: int,
+):
+    pltpu.prng_seed(scalar_ref[0, 0].astype(jnp.int32))
+    eta = scalar_ref[0, 1]
+    patience = scalar_ref[0, 2]
+    e_const = scalar_ref[0, 3]
+    root2eta = jnp.sqrt(2.0 * eta)
+    j = w_ref.shape[1]
+
+    out_ref[:] = w_ref[:]
+    decay = decay_ref[:]
+    shift = shift_ref[:]
+    sigma = sigma_ref[:]
+    b = b_ref[:]
+
+    def body(t, carry):
+        min_loss, sim_time, stopped = carry
+        w = out_ref[:]
+        noise = _standard_normals(w.shape)
+        w_new = decay * w + shift + root2eta * noise
+        energy_j = 0.5 * jnp.sum(sigma * jnp.square(w_new), axis=0) - jnp.sum(
+            b * w_new, axis=0
+        )
+        energy = jnp.sum(energy_j) / j + e_const
+        energy = jnp.where(stopped, jnp.float32(jnp.nan), energy)
+
+        @pl.when(jnp.logical_not(stopped))
+        def _():
+            out_ref[:] = w_new
+
+        energy_ref[pl.ds(t, 1), :] = energy.reshape(1, 1)
+
+        # reference EarlyStopper semantics (early_stopper.py:15-24)
+        finite = jnp.isfinite(energy)
+        improved = energy < min_loss
+        sim_time_new = jnp.where(improved, 0.0, sim_time + eta)
+        should_stop = (~finite) | ((~improved) & (sim_time_new >= patience))
+        min_loss = jnp.where(stopped, min_loss, jnp.where(improved, energy, min_loss))
+        sim_time = jnp.where(stopped, sim_time, sim_time_new)
+        return min_loss, sim_time, stopped | should_stop
+
+    jax.lax.fori_loop(
+        0,
+        num_steps,
+        body,
+        (jnp.float32(jnp.inf), jnp.float32(0.0), jnp.bool_(False)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("num_steps", "interpret"))
+def spectral_train_fused(
+    w0: Array,  # (M, J) rotated particles
+    decay: Array,  # (M,)
+    shift: Array,  # (M,)
+    sigma: Array,  # (M,)
+    b_rot: Array,  # (M,)
+    seed,
+    eta,
+    patience,
+    energy_const,
+    num_steps: int,
+    interpret: bool = False,
+) -> tuple[Array, Array]:
+    """Run num_steps spectral training steps fully in VMEM.
+
+    Returns (w_final, energies) with the same semantics as the spectral tier
+    of ``_train_pls_scan`` (NaN energies after the early stop)."""
+    m, j = w0.shape
+    scalars = jnp.stack(
+        [
+            jnp.asarray(seed, dtype=jnp.float32),
+            jnp.asarray(eta, dtype=jnp.float32),
+            jnp.asarray(patience, dtype=jnp.float32),
+            jnp.asarray(energy_const, dtype=jnp.float32),
+        ]
+    )[None, :]
+    col = lambda v: v.astype(jnp.float32)[:, None]
+    out, energies = pl.pallas_call(
+        functools.partial(_spectral_train_kernel, num_steps=num_steps),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, j), jnp.float32),
+            jax.ShapeDtypeStruct((num_steps, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(w0.astype(jnp.float32), col(decay), col(shift), col(sigma), col(b_rot), scalars)
+    return out, energies[:, 0]

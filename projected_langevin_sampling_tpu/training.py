@@ -94,11 +94,13 @@ def resolve_fast_path(basis, cost, fast_path: str) -> str:
         if quadratic_fast_path_available(basis, cost):
             return "quadratic"
         return "off"
-    if fast_path == "spectral" and not spectral_fast_path_available(basis, cost):
+    if fast_path in ("spectral", "spectral_fused") and not spectral_fast_path_available(
+        basis, cost
+    ):
         raise ValueError("spectral fast path requires OrthonormalBasis + GaussianCost(identity)")
     if fast_path == "quadratic" and not quadratic_fast_path_available(basis, cost):
         raise ValueError("quadratic fast path requires GaussianCost(identity)")
-    assert fast_path in ("off", "quadratic", "spectral"), fast_path
+    assert fast_path in ("off", "quadratic", "spectral", "spectral_fused"), fast_path
     return fast_path
 
 
@@ -152,6 +154,39 @@ def _spectral_system(basis, cost):
     sigma, q = jnp.linalg.eigh(a)
     b_rot = q.T @ b
     return sigma, q, b_rot, e_const
+
+
+def _replay_early_stopper(energies: Array, step_size, patience):
+    """Re-derive (recorded, steps_run) from an energy trace by replaying the
+    reference's EarlyStopper on it (the fused kernel freezes the particles
+    in-kernel and writes NaN energies after the stop).
+
+    Vectorised (no sequential scan): a step improves iff its energy beats the
+    running minimum; the accumulated simulation time at step t is
+    step_size * (t - index of the last improvement at or before t); the stop
+    is the first step that is non-finite or whose accumulated time reaches
+    the patience. Entries after the true stop are NaN (written by the
+    kernel), which cannot create an earlier stop."""
+    dtype = energies.dtype
+    t = energies.shape[0]
+    step_size = jnp.asarray(step_size, dtype=dtype)
+    patience = jnp.asarray(patience, dtype=dtype)
+
+    finite = jnp.isfinite(energies)
+    safe = jnp.where(finite, energies, jnp.inf)
+    cummin_excl = jnp.concatenate(
+        [jnp.asarray([jnp.inf], dtype=dtype), jax.lax.cummin(safe)[:-1]]
+    )
+    improved = energies < cummin_excl
+    idx = jnp.arange(t)
+    last_improved = jax.lax.cummax(jnp.where(improved, idx, -1))
+    sim_time = step_size * (idx - last_improved).astype(dtype)
+    stop_here = (~finite) | ((~improved) & (sim_time >= patience))
+    any_stop = jnp.any(stop_here)
+    stop_idx = jnp.where(any_stop, jnp.argmax(stop_here), t)
+    recorded = idx < stop_idx
+    steps_run = jnp.minimum(stop_idx + 1, t).astype(jnp.int32)
+    return recorded, steps_run
 
 
 class TrainResult(NamedTuple):
@@ -221,6 +256,35 @@ def _train_pls_scan(
     keys = jax.random.split(key, number_of_epochs)
     root2eta = jnp.sqrt(2.0 * step_size)
     tier = resolve_fast_path(basis, cost, fast_path)
+
+    if tier == "spectral_fused":
+        # whole run in one Pallas launch (TPU only, opt-in): particles live in
+        # VMEM across all steps, hardware PRNG, in-kernel early stopping
+        from projected_langevin_sampling_tpu.ops.pallas.spectral_train import (
+            spectral_train_fused,
+        )
+
+        sigma, q_mat, b_rot, e_const = _spectral_system(basis, cost)
+        decay = 1.0 - step_size * sigma
+        shift = step_size * b_rot
+        seed = jax.random.randint(key, (), 0, 2**31 - 1)
+        w_final, energies = spectral_train_fused(
+            (q_mat.T @ particles),
+            decay,
+            shift,
+            sigma,
+            b_rot,
+            seed=seed,
+            eta=step_size,
+            patience=patience,
+            energy_const=e_const,
+            num_steps=number_of_epochs,
+        )
+        energies = energies.astype(dtype)
+        recorded, steps_run = _replay_early_stopper(energies, step_size, patience)
+        return TrainResult(
+            (q_mat @ w_final.astype(dtype)), energies, recorded, steps_run
+        )
 
     if tier == "spectral":
         sigma, q_mat, b_rot, e_const = _spectral_system(basis, cost)

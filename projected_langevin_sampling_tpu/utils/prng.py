@@ -43,6 +43,22 @@ def normal(
     return mean + stdev * jax.random.normal(key, shape, dtype=dtype)
 
 
+def set_seed(seed: int = 42) -> KeyArray:
+    """Seed the HOST-side RNGs (numpy, random, PYTHONHASHSEED) and return a
+    JAX key for the device-side stream. The reference's ``set_seed``
+    (``src/utils.py:8-22``) also seeds torch's global PRNG; JAX has no global
+    PRNG — thread the returned key instead."""
+    import os
+    import random
+
+    import numpy as np
+
+    np.random.seed(seed)
+    random.seed(seed)
+    os.environ["PYTHONHASHSEED"] = str(seed)
+    return jax.random.key(seed)
+
+
 def sample_point(key: KeyArray | int | None, x: jax.Array) -> jax.Array:
     """Pick one random row of x, keeping the leading axis (size 1) — the
     reference's ``sample_point`` (``src/samplers.py:47-62``), used to centre

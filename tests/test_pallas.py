@@ -151,3 +151,46 @@ def test_pallas_gram_matches_xla():
         outputscale=1.7, tile=32, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=2e-5, atol=1e-6)
+
+
+def test_spectral_fused_deterministic_part_and_replay():
+    """Interpret-mode PRNG yields zero noise, making the fused kernel
+    deterministic: it must match the exact recurrence, and the early-stop
+    replay must mark the right steps."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from projected_langevin_sampling_tpu.ops.pallas.spectral_train import (
+        spectral_train_fused,
+    )
+    from projected_langevin_sampling_tpu.training import _replay_early_stopper
+
+    m, j, t = 16, 32, 40
+    rng = np.random.default_rng(0)
+    w0 = np.asarray(rng.normal(size=(m, j)), dtype=np.float32)
+    sigma = np.asarray(rng.uniform(1, 5, m), dtype=np.float32)
+    b = np.asarray(rng.normal(size=m), dtype=np.float32)
+    eta = 0.05
+    decay, shift = 1 - eta * sigma, eta * b
+    with pltpu.force_tpu_interpret_mode():
+        w, en = spectral_train_fused(
+            jnp.asarray(w0), jnp.asarray(decay), jnp.asarray(shift),
+            jnp.asarray(sigma), jnp.asarray(b), seed=0, eta=eta,
+            patience=np.inf, energy_const=1.0, num_steps=t,
+        )
+    w_exact = w0.copy()
+    ens = []
+    for _ in range(t):
+        w_exact = decay[:, None] * w_exact + shift[:, None]
+        e = 0.5 * (sigma[:, None] * w_exact**2).sum(0) - b @ w_exact
+        ens.append(e.mean() + 1.0)
+    np.testing.assert_allclose(np.asarray(w), w_exact, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(en), ens, rtol=1e-4, atol=1e-5)
+
+    # replay: noiseless energies decrease monotonically -> nothing recorded as
+    # stopped with infinite patience
+    recorded, steps = _replay_early_stopper(jnp.asarray(en), eta, float("inf"))
+    assert bool(recorded.all()) and int(steps) == t
+    # tiny patience on a flat tail triggers a stop
+    flat = jnp.asarray([3.0, 2.0, 2.0, 2.0, 2.0, 2.0], dtype=jnp.float32)
+    recorded2, steps2 = _replay_early_stopper(flat, 1.0, 2.0)
+    assert int(steps2) < 6

@@ -151,3 +151,44 @@ def test_langevin_steps_matches_train_pls_dynamics():
     a = langevin_steps(pls.basis, pls.cost, particles, jax.random.key(5), step, 50)
     b, _ = train_pls(pls, particles, 50, step, key=jax.random.key(5))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10, atol=1e-12)
+
+
+def test_replay_early_stopper_matches_sequential():
+    """The vectorised replay must reproduce the sequential EarlyStopper on
+    arbitrary traces (incl. non-finite tails and plateaus)."""
+    from projected_langevin_sampling_tpu.training import _replay_early_stopper
+    from projected_langevin_sampling_tpu.utils.early_stopper import EarlyStopper
+
+    rng = np.random.default_rng(0)
+    for trial in range(30):
+        t = int(rng.integers(3, 40))
+        trace = rng.normal(size=t).astype(np.float64)
+        if trial % 3 == 0:  # plant a NaN tail like the fused kernel writes
+            cut = int(rng.integers(1, t))
+            trace[cut:] = np.nan
+        if trial % 4 == 0:  # plateau to trigger patience
+            trace[t // 2 :] = trace[t // 2]
+        step = float(rng.uniform(0.01, 1.0))
+        patience = float(rng.choice([np.inf, step * rng.integers(1, 6)]))
+
+        stopper = EarlyStopper(patience=patience)
+        recorded_seq, steps_seq, stopped = [], 0, False
+        for e in trace:
+            if stopped:
+                recorded_seq.append(False)
+                continue
+            steps_seq += 1
+            if stopper.should_stop(float(e), step):
+                stopped = True
+                recorded_seq.append(False)
+            else:
+                recorded_seq.append(True)
+
+        recorded_vec, steps_vec = _replay_early_stopper(
+            jnp.asarray(trace), step, patience
+        )
+        np.testing.assert_array_equal(
+            np.asarray(recorded_vec), np.asarray(recorded_seq),
+            err_msg=f"trial {trial}",
+        )
+        assert int(steps_vec) == steps_seq, f"trial {trial}"
