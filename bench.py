@@ -52,6 +52,11 @@ def build(dtype_name="float32"):
 def main():
     import jax
 
+    # persistent compile cache: repeated bench runs skip the (slow, tunneled)
+    # TPU compile
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
     from projected_langevin_sampling_tpu.training import _train_pls_scan
 
     basis, cost, j = build()
