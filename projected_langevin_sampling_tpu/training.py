@@ -425,6 +425,27 @@ def langevin_steps(
     root2eta = jnp.sqrt(2.0 * step_size)
     tier = resolve_fast_path(basis, cost, fast_path)
 
+    if tier == "spectral_fused":
+        from projected_langevin_sampling_tpu.ops.pallas.spectral_train import (
+            spectral_train_fused,
+        )
+
+        sigma, q_mat, b_rot, e_const = _spectral_system(basis, cost)
+        seed = jax.random.randint(key, (), 0, 2**31 - 1)
+        w_final, _ = spectral_train_fused(
+            q_mat.T @ particles,
+            1.0 - step_size * sigma,
+            step_size * b_rot,
+            sigma,
+            b_rot,
+            seed=seed,
+            eta=step_size,
+            patience=jnp.inf,
+            energy_const=e_const,
+            num_steps=n_steps,
+        )
+        return q_mat @ w_final.astype(dtype)
+
     if tier == "spectral":
         sigma, q_mat, b_rot, _ = _spectral_system(basis, cost)
         decay = 1.0 - step_size * sigma
