@@ -188,3 +188,29 @@ def test_train_pls_runner_step_size_search(tmp_path):
     )
     assert np.all(np.isfinite(np.asarray(out)))
     assert best_lr is not None and epochs > 0
+
+
+def test_set_seed_host_rngs_and_key():
+    """set_seed pins the host RNGs and returns a JAX key
+    (reference src/utils.py:8-22 analog)."""
+    import random
+
+    from projected_langevin_sampling_tpu.utils import sample_point, set_seed
+
+    key1 = set_seed(7)
+    a = np.random.rand(3)
+    b = random.random()
+    key2 = set_seed(7)
+    np.testing.assert_array_equal(np.random.rand(3), a)
+    assert random.random() == b
+    import jax
+
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(key1)), np.asarray(jax.random.key_data(key2))
+    )
+
+    x = jnp.arange(10.0).reshape(-1, 1)
+    p1 = sample_point(3, x)
+    p2 = sample_point(3, x)
+    assert p1.shape == (1, 1)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
