@@ -343,7 +343,9 @@ def main(
 if __name__ == "__main__":
     import jax
 
-    jax.config.update("jax_enable_x64", True)  # reference runs float64
+    if os.environ.get("PLST_X64", "1") != "0":
+        # the reference runs float64; set PLST_X64=0 for fp32 (TPU production)
+        jax.config.update("jax_enable_x64", True)
     args = parser.parse_args()
     with open(args.config_path) as file:
         loaded_config = yaml.safe_load(file)

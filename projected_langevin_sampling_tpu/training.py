@@ -73,7 +73,7 @@ def spectral_fast_path_available(basis, cost) -> bool:
     )
 
 
-def resolve_fast_path(basis, cost, fast_path: str) -> str:
+def resolve_fast_path(basis, cost, fast_path: str, particles_bytes: int | None = None) -> str:
     """Resolve a fast-path request to the tier that will actually run.
 
     Tiers (all compute the same posterior; see the module comment above):
@@ -94,6 +94,12 @@ def resolve_fast_path(basis, cost, fast_path: str) -> str:
         if quadratic_fast_path_available(basis, cost):
             return "quadratic"
         return "off"
+    if fast_path == "spectral_fused" and particles_bytes is not None:
+        # the fused kernel keeps the whole particle matrix in VMEM; fall back
+        # to the XLA spectral tier when it cannot fit (~16 MB/core, leave room
+        # for noise + temporaries)
+        if particles_bytes > 8 * 1024 * 1024:
+            return "spectral"
     if fast_path in ("spectral", "spectral_fused") and not spectral_fast_path_available(
         basis, cost
     ):
@@ -255,7 +261,9 @@ def _train_pls_scan(
     patience = jnp.asarray(patience, dtype=dtype)
     keys = jax.random.split(key, number_of_epochs)
     root2eta = jnp.sqrt(2.0 * step_size)
-    tier = resolve_fast_path(basis, cost, fast_path)
+    tier = resolve_fast_path(
+        basis, cost, fast_path, particles_bytes=4 * particles.size
+    )
 
     if tier == "spectral_fused":
         # whole run in one Pallas launch (TPU only, opt-in): particles live in
@@ -423,7 +431,9 @@ def langevin_steps(
     step_size = jnp.asarray(step_size, dtype=dtype)
     keys = jax.random.split(key, n_steps)
     root2eta = jnp.sqrt(2.0 * step_size)
-    tier = resolve_fast_path(basis, cost, fast_path)
+    tier = resolve_fast_path(
+        basis, cost, fast_path, particles_bytes=4 * particles.size
+    )
 
     if tier == "spectral_fused":
         from projected_langevin_sampling_tpu.ops.pallas.spectral_train import (
