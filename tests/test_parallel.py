@@ -170,3 +170,20 @@ def test_auto_sharded_train_matches_single_device():
             np.asarray(sharded.energies), np.asarray(single.energies),
             rtol=1e-8, atol=1e-10, err_msg=fast_path,
         )
+
+
+def test_energy_matches_single_device_definition_ipb():
+    """psum'd sharded energy for the IPB basis (dense prior-energy operator)."""
+    from projected_langevin_sampling_tpu.models.pls import PLS
+
+    x, y, z, y_induce, kernel = _setup()
+    basis = build_inducing_point_basis(kernel, z, y_induce, x)
+    cost = GaussianCost(y_train=y, observation_noise=jnp.asarray(SIGMA2))
+    mesh = make_mesh(2, 4)
+    u0 = jnp.asarray(np.random.default_rng(5).normal(size=(basis.approximation_dimension, 16)))
+    final, energies = parallel_langevin_steps(
+        mesh, basis, cost, u0, jax.random.key(0), 1e-3, 1, with_energy=True
+    )
+    pls = PLS(basis=basis, cost=cost)
+    expected = float(pls.calculate_energy_potential(jnp.asarray(np.asarray(final))))
+    assert float(energies[0]) == pytest.approx(expected, rel=1e-8)
