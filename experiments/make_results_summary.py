@@ -40,7 +40,10 @@ def main() -> None:
         "target. Classification accuracies are modest because the synthetic\n"
         "stand-ins are hard (high-dimensional correlated inputs, weak latent,\n"
         "~320 train points) and the medium config truncates training — AUC\n"
-        "shows the learned signal; the 1-D curve tests reach >0.9 accuracy.\n"
+        "shows the learned signal; the 1-D curve tests reach >0.9 accuracy.\n\n"
+        "The full curve-regression pipeline (kernel learning, greedy selection,\n"
+        "PLS step-size search, conformal calibration, SVGP baseline) also ran\n"
+        "END-TO-END ON THE REAL TPU v5e chip in float32 (PLST_X64=0).\n"
     )
 
     try:
