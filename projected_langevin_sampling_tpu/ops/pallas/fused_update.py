@@ -18,11 +18,13 @@ kernel (closed forms for Gaussian/Bernoulli/Poisson/Student-T below; any
 differentiable cost works via ``jax.grad`` of its pointwise log-density).
 
 Status: numerically verified against the unfused path (max diff ~5e-7 at
-bench scale) but measured ~2x SLOWER than XLA's pipelined matmul schedule on
-the available v5e chip (2.6 vs 1.2 ms/call at N=5000, M=512, J=1000), so the
-XLA path remains the default; this kernel is the tuning vehicle for future
-rounds (candidate wins: larger J tiles, bf16 input blocks, double-buffered
-P streaming).
+bench scale). After tuning (1024x512 tiles + parallel dimension semantics)
+it measures ~1.8 ms/call vs XLA's 1.35 ms at N~5000, M=512, J~1000 on the
+available v5e chip — XLA's pipelined matmul schedule still wins there, so
+the XLA path remains the default and this kernel is the tuning vehicle for
+future rounds (remaining candidates: double-buffered P streaming, manual
+DMA overlap; bf16 input blocks are a no-op on this chip — it runs f32 and
+bf16 matmuls at the same rate).
 
 Reference behaviour being fused: basis/orthonormal.py:128-159 +
 costs/*.py closed-form derivatives + trainers.py:149-161 ``particles += update``.
@@ -139,8 +141,8 @@ def fused_langevin_update(
     dc_fn,
     eta: float,
     prior_is_diag: bool = True,
-    n_tile: int = 512,
-    j_tile: int = 256,
+    n_tile: int = 1024,
+    j_tile: int = 512,
     interpret: bool = False,
 ) -> Array:
     """One fused Langevin update U' (same math as the unfused path)."""
@@ -187,6 +189,16 @@ def fused_langevin_update(
         ),
         out_shape=jax.ShapeDtypeStruct((m, j_pad), jnp.float32),
         interpret=interpret,
+        **(
+            {}
+            if interpret
+            else {
+                "compiler_params": pltpu.CompilerParams(
+                    # J tiles are independent; only the N axis accumulates
+                    dimension_semantics=("parallel", "arbitrary")
+                )
+            }
+        ),
     )(p, d, y_col, u, prior_block, noise)
     return out[:, :j]
 
