@@ -214,3 +214,38 @@ def test_set_seed_host_rngs_and_key():
     p2 = sample_point(3, x)
     assert p1.shape == (1, 1)
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def test_animate_runner_writes_gif(tmp_path):
+    from experiments.runners import animate_pls_1d_particles_runner
+    from projected_langevin_sampling_tpu.models.basis import build_orthonormal_basis
+    from projected_langevin_sampling_tpu.models.costs import GaussianCost
+    from projected_langevin_sampling_tpu.models.pls import PLS
+    from projected_langevin_sampling_tpu.ops.kernels import ARDKernel, PLSKernel
+
+    rng = np.random.default_rng(0)
+    n = 30
+    x = jnp.asarray(np.sort(rng.uniform(-2, 2, (n, 1)), axis=0))
+    y = jnp.asarray(np.sin(2 * np.asarray(x)[:, 0]))
+    kernel = PLSKernel(
+        base_kernel=ARDKernel(jnp.asarray([0.5]), jnp.asarray(1.0)),
+        approximation_samples=x,
+    )
+    basis = build_orthonormal_basis(
+        kernel, x[::6], x, eigenvalue_threshold=1e-3, verbose=False
+    )
+    pls = PLS(basis, GaussianCost(y_train=y, observation_noise=jnp.asarray(0.1)))
+    particles = pls.initialise_particles(8, key=0)
+    ed = ExperimentData(
+        name="t", problem_type=ProblemType.REGRESSION,
+        full=Data(x=x, y=y, name="full"),
+        train=Data(x=x, y=y, name="train"),
+        test=Data(x=x, y=y, name="test"),
+    )
+    animate_pls_1d_particles_runner(
+        pls=pls, particles=particles, particle_name="t", experiment_data=ed,
+        animate_1d_path=str(tmp_path), step_size=1e-4, number_of_epochs=20,
+        seed=0, number_of_frames=4,
+    )
+    gif = os.path.join(tmp_path, "pls-t.gif")
+    assert os.path.exists(gif) and os.path.getsize(gif) > 0
