@@ -114,14 +114,39 @@ class PLS:
         predictive_noise: Array | None = None,
         observation_noise: Array | None = None,
         key: KeyArray | int | None = None,
+        chunk_size: int | None = None,
     ) -> Array:
         """(N*, J) output-space samples (reference :140-163). Noise tensors may
-        be injected for deterministic parity testing."""
+        be injected for deterministic parity testing.
+
+        ``chunk_size``: serving-scale option. The exact joint predictive draw
+        factorises an (M + N*)^2 covariance — O((M + N*)^3), unusable for
+        large test sets (the reference has the same blowup). Chunking draws
+        the joint per block of test points: every point's MARGINAL predictive
+        law is unchanged (which is all the metrics/quantile paths consume);
+        only the noise correlations BETWEEN points in different chunks are
+        dropped. Cost: O(N*/c * (M + c)^3).
+        """
         key = as_key(key)
         key_pred, key_obs = jax.random.split(key)
-        untransformed = self.predict_untransformed_samples(
-            particles=particles, x=x, noise=predictive_noise, key=key_pred
-        )
+        if chunk_size is None or x.shape[0] <= chunk_size or predictive_noise is not None:
+            untransformed = self.predict_untransformed_samples(
+                particles=particles, x=x, noise=predictive_noise, key=key_pred
+            )
+        else:
+            import jax.numpy as jnp
+
+            blocks = []
+            for start in range(0, x.shape[0], chunk_size):
+                key_pred, subkey = jax.random.split(key_pred)
+                blocks.append(
+                    self.predict_untransformed_samples(
+                        particles=particles,
+                        x=x[start : start + chunk_size],
+                        key=subkey,
+                    )
+                )
+            untransformed = jnp.concatenate(blocks, axis=0)
         return self.cost.predict_samples(
             untransformed_samples=untransformed,
             observation_noise=observation_noise,

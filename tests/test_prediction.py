@@ -139,3 +139,30 @@ def test_predict_train_points_match_train_prediction_mean(trained):
         )
     pred = np.concatenate(samples, axis=1).mean(axis=1)
     assert np.max(np.abs(pred - train_pred)) < 0.15
+
+
+def test_chunked_prediction_matches_marginals(trained):
+    """Chunked serving path: per-point marginal predictive law matches the
+    exact joint (only cross-chunk noise correlations are dropped)."""
+    pls, particles, x, y, z, a, rhs = trained
+    x_test = jnp.asarray(np.linspace(-1.5, 1.5, 24)[:, None])
+
+    def stats(chunk_size, n_rep=8):
+        draws = []
+        for i in range(n_rep):
+            draws.append(
+                np.asarray(
+                    pls.predict_samples(
+                        particles=particles, x=x_test,
+                        key=jax.random.key(100 + i), chunk_size=chunk_size,
+                    )
+                )
+            )
+        flat = np.concatenate(draws, axis=1)
+        return flat.mean(axis=1), flat.var(axis=1)
+
+    mean_full, var_full = stats(None)
+    mean_chunk, var_chunk = stats(7)  # deliberately not dividing 24
+    scale = np.abs(mean_full).max() + 1.0
+    np.testing.assert_allclose(mean_chunk, mean_full, atol=0.1 * scale)
+    np.testing.assert_allclose(var_chunk, var_full, rtol=0.35, atol=0.02)
