@@ -112,15 +112,17 @@ class InducingPointBasis(PLSBasisMixin):
         particles: Array,
         x: Array,
         key: KeyArray | int | None = None,
+        augmentation_samples: Array | None = None,
     ) -> Array:
         """G([Z, x]) ~ N(0, r([Z,x],[Z,x])) with Z-union-x augmentation on the
         cross/test blocks only, exactly as the reference assembles it
         (``inducing_point.py:152-202`` — the top-left block is the *stored*
         unaugmented r(Z,Z))."""
         key = as_key(key)
-        gram_x = self.kernel.forward(x1=x, x2=x, additional_approximation_samples=x)
+        aug = x if augmentation_samples is None else augmentation_samples
+        gram_x = self.kernel.forward(x1=x, x2=x, additional_approximation_samples=aug)
         gram_induce_x = self.kernel.forward(
-            x1=self.x_induce, x2=x, additional_approximation_samples=x
+            x1=self.x_induce, x2=x, additional_approximation_samples=aug
         )
         noise_covariance = jnp.block(
             [[self.gram_induce, gram_induce_x], [gram_induce_x.T, gram_x]]
@@ -143,20 +145,25 @@ class InducingPointBasis(PLSBasisMixin):
         x: Array,
         noise: Array | None = None,
         key: KeyArray | int | None = None,
+        augmentation_samples: Array | None = None,
     ) -> Array:
         """G(x) + r(x,Z) r(Z,Z)^{-1} (U - G(Z)) (reference ``inducing_point.py:204-240``).
 
         The solve uses the *augmented* r(Z,Z) like the reference, factored with
         escalating jitter (the gpytorch.solve behaviour the reference relies on).
         """
+        aug = x if augmentation_samples is None else augmentation_samples
         gram_x_induce = self.kernel.forward(
-            x1=x, x2=self.x_induce, additional_approximation_samples=x
+            x1=x, x2=self.x_induce, additional_approximation_samples=aug
         )  # (N*, M)
         gram_induce_aug = self.kernel.forward(
-            x1=self.x_induce, x2=self.x_induce, additional_approximation_samples=x
+            x1=self.x_induce, x2=self.x_induce, additional_approximation_samples=aug
         )  # (M, M)
         if noise is None:
-            noise = self.sample_predictive_noise(particles=particles, x=x, key=key)
+            noise = self.sample_predictive_noise(
+                particles=particles, x=x, key=key,
+                augmentation_samples=augmentation_samples,
+            )
         m = self.approximation_dimension
         chol, _ = robust_cholesky(gram_induce_aug)
         rhs = particles - noise[:m, :]

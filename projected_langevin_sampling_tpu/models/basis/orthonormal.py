@@ -113,12 +113,14 @@ class OrthonormalBasis(PLSBasisMixin):
         particles: Array,
         x: Array,
         key: KeyArray | int | None = None,
+        augmentation_samples: Array | None = None,
     ) -> Array:
         """Joint MVN draw over [basis coefficients; test function values]
         with the Z-union-x augmentation (reference ``orthonormal.py:161-214``)."""
         key = as_key(key)
         # r(x, x) with augmented approximation samples for OOD fidelity
-        gram_x = self.kernel.forward(x1=x, x2=x, additional_approximation_samples=x)
+        aug = x if augmentation_samples is None else augmentation_samples
+        gram_x = self.kernel.forward(x1=x, x2=x, additional_approximation_samples=aug)
         base_gram_x_induce = ard_gram(self.kernel.base_kernel, x, self.x_induce)
         off_diagonal_block = (
             base_gram_x_induce @ self.scaled_eigenvectors * self.eigenvalues[None, :]
@@ -145,12 +147,16 @@ class OrthonormalBasis(PLSBasisMixin):
         x: Array,
         noise: Array | None = None,
         key: KeyArray | int | None = None,
+        augmentation_samples: Array | None = None,
     ) -> Array:
         """Matheron pathwise conditioning: noise_x + k(x,Z) Vt (U - noise_Z)
         (reference ``orthonormal.py:216-244``)."""
         base_gram_x_induce = ard_gram(self.kernel.base_kernel, x, self.x_induce)
         if noise is None:
-            noise = self.sample_predictive_noise(particles=particles, x=x, key=key)
+            noise = self.sample_predictive_noise(
+                particles=particles, x=x, key=key,
+                augmentation_samples=augmentation_samples,
+            )
         m_k = self.approximation_dimension
         return noise[m_k:, :] + base_gram_x_induce @ (
             self.scaled_eigenvectors @ (particles - noise[:m_k, :])

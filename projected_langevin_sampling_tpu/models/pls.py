@@ -140,10 +140,14 @@ class PLS:
             for start in range(0, x.shape[0], chunk_size):
                 key_pred, subkey = jax.random.split(key_pred)
                 blocks.append(
-                    self.predict_untransformed_samples(
+                    self.basis.predict_untransformed_samples(
                         particles=particles,
                         x=x[start : start + chunk_size],
                         key=subkey,
+                        # keep the Z-union-x augmentation set equal to the FULL
+                        # test batch so every point's marginal law matches the
+                        # unchunked joint
+                        augmentation_samples=x,
                     )
                 )
             untransformed = jnp.concatenate(blocks, axis=0)
