@@ -37,10 +37,10 @@ def main() -> None:
         "3-point step-size search, J=100 particles), data seed 0.\n\n"
         "Reading guide: tempering/conformalisation should (and do) cut the\n"
         "raw NLLs by ~5-20x; conformal coverage should sit near its 0.95\n"
-        "target. Classification accuracies are modest because the synthetic\n"
-        "stand-ins are hard (high-dimensional correlated inputs, weak latent,\n"
-        "~320 train points) and the medium config truncates training — AUC\n"
-        "shows the learned signal; the 1-D curve tests reach >0.9 accuracy.\n\n"
+        "target. UCI classification uses a longer config (simulation_duration\n"
+        "1.0); the synthetic stand-ins remain hard (high-dimensional\n"
+        "correlated inputs, weak latent, ~320 train points), so treat the\n"
+        "absolute numbers as pipeline evidence, not benchmark claims.\n\n"
         "The full curve-regression pipeline (kernel learning, greedy selection,\n"
         "PLS step-size search, conformal calibration, SVGP baseline) also ran\n"
         "END-TO-END ON THE REAL TPU v5e chip in float32 (PLST_X64=0).\n"
