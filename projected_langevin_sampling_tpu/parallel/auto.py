@@ -21,7 +21,12 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from projected_langevin_sampling_tpu.parallel.mesh import PARTICLE_AXIS
-from projected_langevin_sampling_tpu.training import TrainResult, _train_pls_scan
+from projected_langevin_sampling_tpu.training import (
+    TrainResult,
+    _train_pls_scan,
+    resolve_fast_path,
+    spectral_system_host,
+)
 from projected_langevin_sampling_tpu.utils.prng import KeyArray, as_key
 
 Array = jax.Array
@@ -49,6 +54,17 @@ def parallel_train_pls(
     particles = jax.device_put(particles, particle_sharding)
     basis = jax.device_put(basis, replicated)
     cost = jax.device_put(cost, replicated)
+    tier = resolve_fast_path(
+        basis,
+        cost,
+        fast_path,
+        particles_bytes=particles.dtype.itemsize * particles.size,
+    )
+    spectral_system = (
+        jax.device_put(spectral_system_host(basis, cost), replicated)
+        if tier in ("spectral", "spectral_fused")
+        else None
+    )
     return _train_pls_scan(
         basis,
         cost,
@@ -57,5 +73,6 @@ def parallel_train_pls(
         step_size,
         early_stopper_patience,
         int(number_of_epochs),
-        fast_path,
+        tier,
+        spectral_system,
     )

@@ -127,7 +127,12 @@ def _cost_specs(cost, n: int):
     )
 
 
-_COMPILE_CACHE: dict = {}
+from collections import OrderedDict
+
+# bounded LRU: a step-size search sweeping n_steps values would otherwise
+# accumulate compiled programs without bound
+_COMPILE_CACHE: OrderedDict = OrderedDict()
+_COMPILE_CACHE_MAXSIZE = 32
 
 
 def _get_parallel_langevin(mesh: Mesh, n_steps: int, with_energy: bool, ops, cost):
@@ -142,6 +147,7 @@ def _get_parallel_langevin(mesh: Mesh, n_steps: int, with_energy: bool, ops, cos
         n,
     )
     if cache_key in _COMPILE_CACHE:
+        _COMPILE_CACHE.move_to_end(cache_key)
         return _COMPILE_CACHE[cache_key]
 
     def run(ops, cost, u, base_key, step_size):
@@ -186,6 +192,8 @@ def _get_parallel_langevin(mesh: Mesh, n_steps: int, with_energy: bool, ops, cos
         jax.shard_map(run, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
     )
     _COMPILE_CACHE[cache_key] = fn
+    while len(_COMPILE_CACHE) > _COMPILE_CACHE_MAXSIZE:
+        _COMPILE_CACHE.popitem(last=False)
     return fn
 
 

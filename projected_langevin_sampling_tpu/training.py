@@ -155,11 +155,44 @@ def _spectral_system(basis, cost):
         W' = (1 - eta sigma) W + eta b_rot + sqrt(2 eta) eps
     and the energy is 0.5 sum sigma W^2 - b_rot . W + const (the quadratic
     forms are rotation-invariant). The eigh runs once per compiled call.
+
+    NOTE: under jit on the TPU this eigh runs in reduced device precision
+    (~1e-7 reconstruction error even on f64 inputs — a chip quirk). The
+    public entry points (``train_pls``, ``langevin_steps``,
+    ``parallel_train_pls``) therefore precompute the system EAGERLY via
+    ``spectral_system_host`` (host fp64 eigh) and pass it in; this in-jit
+    path is the fallback for direct ``_train_pls_scan`` callers.
     """
     a, b, _, _, e_const, _ = _quadratic_system(basis, cost)
     sigma, q = jnp.linalg.eigh(a)
     b_rot = q.T @ b
     return sigma, q, b_rot, e_const
+
+
+def spectral_system_host(basis, cost):
+    """Eager (outside-jit) spectral system with the eigh in HOST float64.
+
+    The drift matrix A is constant per (basis, cost) — independent of the
+    step size — so the factorisation is hoisted out of the compiled program
+    entirely, mirroring the basis-build eigh (basis/orthonormal.py). This
+    sidesteps the TPU's reduced-precision device eigh: the N-sized
+    contraction runs on-device once, the (M, M) matrix moves to host, numpy
+    factorises it in fp64, and the factors come back in the working dtype.
+    Must be called OUTSIDE jit."""
+    import numpy as np
+
+    a, b, _, _, e_const, _ = _quadratic_system(basis, cost)
+    dtype = a.dtype
+    a64 = np.asarray(jax.device_get(a), dtype=np.float64)
+    b64 = np.asarray(jax.device_get(b), dtype=np.float64)
+    sigma64, q64 = np.linalg.eigh(a64)
+    b_rot64 = q64.T @ b64
+    return (
+        jnp.asarray(sigma64, dtype=dtype),
+        jnp.asarray(q64, dtype=dtype),
+        jnp.asarray(b_rot64, dtype=dtype),
+        jnp.asarray(e_const, dtype=dtype),
+    )
 
 
 def _replay_early_stopper(energies: Array, step_size, patience):
@@ -255,6 +288,7 @@ def _train_pls_scan(
     patience,
     number_of_epochs: int,
     fast_path: str = "auto",
+    spectral_system=None,
 ) -> TrainResult:
     dtype = particles.dtype
     step_size = jnp.asarray(step_size, dtype=dtype)
@@ -262,7 +296,10 @@ def _train_pls_scan(
     keys = jax.random.split(key, number_of_epochs)
     root2eta = jnp.sqrt(2.0 * step_size)
     tier = resolve_fast_path(
-        basis, cost, fast_path, particles_bytes=4 * particles.size
+        basis, cost, fast_path, particles_bytes=particles.dtype.itemsize * particles.size
+    )
+    spectral = lambda: (
+        spectral_system if spectral_system is not None else _spectral_system(basis, cost)
     )
 
     if tier == "spectral_fused":
@@ -272,7 +309,7 @@ def _train_pls_scan(
             spectral_train_fused,
         )
 
-        sigma, q_mat, b_rot, e_const = _spectral_system(basis, cost)
+        sigma, q_mat, b_rot, e_const = spectral()
         decay = 1.0 - step_size * sigma
         shift = step_size * b_rot
         seed = jax.random.randint(key, (), 0, 2**31 - 1)
@@ -295,7 +332,7 @@ def _train_pls_scan(
         )
 
     if tier == "spectral":
-        sigma, q_mat, b_rot, e_const = _spectral_system(basis, cost)
+        sigma, q_mat, b_rot, e_const = spectral()
         decay = 1.0 - step_size * sigma  # (M,)
         shift = step_size * b_rot  # (M,)
 
@@ -399,6 +436,19 @@ def train_pls(
     algebraic specialisation tier (see ``resolve_fast_path``)."""
     if key is None and seed is not None:
         key = seed
+    tier = resolve_fast_path(
+        pls.basis,
+        pls.cost,
+        fast_path,
+        particles_bytes=particles.dtype.itemsize * particles.size,
+    )
+    # the spectral factorisation is hoisted out of jit so the eigh runs in
+    # host fp64 (the TPU's device eigh is reduced-precision)
+    spectral_system = (
+        spectral_system_host(pls.basis, pls.cost)
+        if tier in ("spectral", "spectral_fused")
+        else None
+    )
     result = _train_pls_scan(
         pls.basis,
         pls.cost,
@@ -407,7 +457,8 @@ def train_pls(
         step_size,
         early_stopper_patience,
         int(number_of_epochs),
-        fast_path,
+        tier,
+        spectral_system,
     )
     energies = [
         float(e) for e, r in zip(result.energies.tolist(), result.recorded.tolist()) if r
@@ -424,6 +475,7 @@ def langevin_steps(
     step_size,
     n_steps: int,
     fast_path: str = "auto",
+    spectral_system=None,
 ) -> Array:
     """Throughput path: n_steps Langevin updates, no energy evaluation, no
     early stopping. Fast-path tiers as in ``resolve_fast_path``."""
@@ -432,7 +484,10 @@ def langevin_steps(
     keys = jax.random.split(key, n_steps)
     root2eta = jnp.sqrt(2.0 * step_size)
     tier = resolve_fast_path(
-        basis, cost, fast_path, particles_bytes=4 * particles.size
+        basis, cost, fast_path, particles_bytes=particles.dtype.itemsize * particles.size
+    )
+    spectral = lambda: (
+        spectral_system if spectral_system is not None else _spectral_system(basis, cost)
     )
 
     if tier == "spectral_fused":
@@ -440,7 +495,7 @@ def langevin_steps(
             spectral_train_fused,
         )
 
-        sigma, q_mat, b_rot, e_const = _spectral_system(basis, cost)
+        sigma, q_mat, b_rot, e_const = spectral()
         seed = jax.random.randint(key, (), 0, 2**31 - 1)
         w_final, _ = spectral_train_fused(
             q_mat.T @ particles,
@@ -457,7 +512,7 @@ def langevin_steps(
         return q_mat @ w_final.astype(dtype)
 
     if tier == "spectral":
-        sigma, q_mat, b_rot, _ = _spectral_system(basis, cost)
+        sigma, q_mat, b_rot, _ = spectral()
         decay = 1.0 - step_size * sigma
         shift = step_size * b_rot
 

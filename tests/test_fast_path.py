@@ -167,3 +167,45 @@ def test_spectral_train_pls_converges():
         np.asarray(trained).mean(axis=1), mean_exact,
         atol=0.1 * np.abs(mean_exact).max() + 0.05,
     )
+
+
+def test_spectral_system_host_matches_jit():
+    """The host-fp64 eigh (hoisted out of jit to dodge the TPU's
+    reduced-precision device eigh) must reproduce the in-jit factorisation:
+    same eigenvalues, same rotated drift, same reconstructed A."""
+    from projected_langevin_sampling_tpu.training import spectral_system_host
+
+    basis, cost = _setup("onb")
+    sigma_j, q_j, b_rot_j, e_const_j = jax.jit(
+        lambda b, c: _spectral_system(b, c)
+    )(basis, cost)
+    sigma_h, q_h, b_rot_h, e_const_h = spectral_system_host(basis, cost)
+    np.testing.assert_allclose(np.asarray(sigma_h), np.asarray(sigma_j), rtol=1e-10)
+    # eigenvectors are sign/rotation ambiguous; compare the reconstruction
+    a_j = np.asarray(q_j) @ np.diag(np.asarray(sigma_j)) @ np.asarray(q_j).T
+    a_h = np.asarray(q_h) @ np.diag(np.asarray(sigma_h)) @ np.asarray(q_h).T
+    np.testing.assert_allclose(a_h, a_j, rtol=1e-9, atol=1e-12)
+    # b must be preserved under the rotation: q @ b_rot == b
+    np.testing.assert_allclose(
+        np.asarray(q_h) @ np.asarray(b_rot_h),
+        np.asarray(q_j) @ np.asarray(b_rot_j),
+        rtol=1e-9,
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(float(e_const_h), float(e_const_j), rtol=1e-12)
+
+
+def test_train_pls_spectral_uses_host_system_and_matches_law():
+    """train_pls (which now precomputes the spectral system on host) must
+    produce the same stationary moments as the quadratic tier."""
+    basis, cost = _setup("onb")
+    pls = PLS(basis=basis, cost=cost)
+    particles = basis.initialise_particles(512, key=0)
+    p_spec, _ = train_pls(pls, particles, 3000, 5e-3, key=7, fast_path="spectral")
+    p_quad, _ = train_pls(pls, particles, 3000, 5e-3, key=7, fast_path="quadratic")
+    np.testing.assert_allclose(
+        np.asarray(p_spec.mean(axis=1)), np.asarray(p_quad.mean(axis=1)), atol=0.15
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_spec.std(axis=1)), np.asarray(p_quad.std(axis=1)), rtol=0.25, atol=0.05
+    )
