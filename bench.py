@@ -10,30 +10,42 @@ One training step is semantically identical to the reference's
 BENCH_BASELINE.json is the reference op sequence measured in float64 torch
 on this machine's CPU (see bench_reference.py).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Default mode prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}
+(the headline: best available tier for the ONB+Gaussian flagship).
+
+``--table`` mode benchmarks EVERY applicable (tier x cost) cell —
+{off, quadratic, spectral, spectral_fused} x Gaussian plus the general-path
+(off) tier for Bernoulli, the representative non-Gaussian workload — and
+writes ms/step, updates/s and MFU against this chip's ~49 TF/s matmul roof
+to BENCH_TABLE.json + a markdown table on stderr.
 """
 
+import argparse
 import json
 import sys
 import time
 
 import numpy as np
 
+N, M, J = 5000, 512, 1000
+# Measured matmul roof of this chip: 100-step scan of 4096^3 jax.lax.dot at
+# default precision (the precision the production path uses — XLA lowers f32
+# matmuls to a bf16 MXU pass on this TPU): 124 TF/s bf16, 115 TF/s f32.
+# (Round 1 recorded 49 TF/s; that measurement was dispatch-bound.)
+TPU_ROOF_TFLOPS = 124.0
 
-def build(dtype_name="float32"):
+
+def build(dtype_name="float32", cost_name="gaussian"):
     import jax.numpy as jnp
 
     from projected_langevin_sampling_tpu.models.basis import build_orthonormal_basis
-    from projected_langevin_sampling_tpu.models.costs import GaussianCost
+    from projected_langevin_sampling_tpu.models.costs import BernoulliCost, GaussianCost
     from projected_langevin_sampling_tpu.ops.kernels import ARDKernel, PLSKernel
 
     dtype = jnp.dtype(dtype_name)
-    n, m, j = 5000, 512, 1000
     rng = np.random.default_rng(0)
-    x = jnp.asarray(np.sort(rng.uniform(-3, 3, (n, 1)), axis=0), dtype=dtype)
-    y = jnp.asarray(
-        np.sin(2 * np.asarray(x)[:, 0]) + 0.2 * rng.normal(size=n), dtype=dtype
-    )
+    x = jnp.asarray(np.sort(rng.uniform(-3, 3, (N, 1)), axis=0), dtype=dtype)
+    f_true = np.sin(2 * np.asarray(x)[:, 0])
     # short lengthscale -> k(Z,Z) ~ I: all M eigenpairs kept, M_k == M == 512
     kernel = PLSKernel(
         base_kernel=ARDKernel(
@@ -42,11 +54,125 @@ def build(dtype_name="float32"):
         ),
         approximation_samples=x,
     )
-    z = jnp.asarray(np.linspace(-3, 3, m)[:, None], dtype=dtype)
+    z = jnp.asarray(np.linspace(-3, 3, M)[:, None], dtype=dtype)
     basis = build_orthonormal_basis(kernel, z, x, verbose=False)
-    assert basis.approximation_dimension == m, basis.approximation_dimension
-    cost = GaussianCost(y_train=y, observation_noise=jnp.asarray(0.1, dtype=dtype))
-    return basis, cost, j
+    assert basis.approximation_dimension == M, basis.approximation_dimension
+    if cost_name == "gaussian":
+        y = jnp.asarray(f_true + 0.2 * rng.normal(size=N), dtype=dtype)
+        cost = GaussianCost(y_train=y, observation_noise=jnp.asarray(0.1, dtype=dtype))
+    else:
+        y = jnp.asarray(
+            (f_true + 0.2 * rng.normal(size=N) > 0).astype(np.float32), dtype=dtype
+        )
+        cost = BernoulliCost(y_train=y)
+    return basis, cost
+
+
+def _flops_per_step(tier, m_k=M, n=N, j=J):
+    """MXU FLOPs of ONE training step (energy included), by tier.
+
+    general/off: two (N,M_k)x(M_k,J) matmuls per step (predictions are
+    carried across steps — training.py _step_carry_pred)    = 4 N M_k J
+    quadratic:   one (M_k,M_k)x(M_k,J) matmul per step      = 2 M_k^2 J
+    spectral*:   elementwise only                           = ~0 (PRNG-bound)
+    """
+    if tier == "off":
+        return 4.0 * n * m_k * j
+    if tier == "quadratic":
+        return 2.0 * m_k * m_k * j
+    return 0.0
+
+
+def _time_tier(basis, cost, tier, n_steps, reps=3):
+    import jax
+
+    from projected_langevin_sampling_tpu.training import (
+        _train_pls_scan,
+        spectral_system_host,
+    )
+
+    particles = basis.initialise_particles(J, key=0)
+    key = jax.random.key(0)
+    spec = (
+        spectral_system_host(basis, cost)
+        if tier in ("spectral", "spectral_fused")
+        else None
+    )
+    patience = float("inf")
+
+    def run():
+        result = _train_pls_scan(
+            basis, cost, particles, key, 1e-4, patience, n_steps, tier, spec
+        )
+        jax.block_until_ready(result.particles)
+
+    run()  # warmup / compile
+    times = []
+    for _ in range(reps):
+        start = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - start)
+    best = min(times)
+    return {
+        "tier": tier,
+        "steps": n_steps,
+        "sec_per_step": best / n_steps,
+        "ms_per_step": 1e3 * best / n_steps,
+        "updates_per_sec": n_steps / best,
+        "times": times,
+    }
+
+
+def run_table():
+    """Per-(tier x cost) benchmark; writes BENCH_TABLE.json."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    on_tpu = jax.default_backend() != "cpu"
+
+    cells = [
+        # (cost, tier, n_steps) — step counts sized so each rep runs seconds,
+        # amortising the ~35 ms tunnel dispatch latency
+        ("gaussian", "off", 2000),
+        ("gaussian", "quadratic", 10000),
+        ("gaussian", "spectral", 20000),
+        ("bernoulli", "off", 2000),
+    ]
+    if on_tpu:
+        cells.insert(3, ("gaussian", "spectral_fused", 20000))
+
+    rows = []
+    for cost_name, tier, n_steps in cells:
+        basis, cost = build(cost_name=cost_name)
+        r = _time_tier(basis, cost, tier, n_steps)
+        flops = _flops_per_step(tier)
+        r.update(
+            cost=cost_name,
+            gflops_per_step=flops / 1e9,
+            tflops_per_sec=flops * r["updates_per_sec"] / 1e12,
+            mfu_vs_roof=(flops * r["updates_per_sec"] / 1e12) / TPU_ROOF_TFLOPS
+            if on_tpu and flops
+            else None,
+        )
+        rows.append(r)
+        print(
+            f"  {cost_name:9s} {tier:14s} {r['ms_per_step']:8.4f} ms/step "
+            f"{r['updates_per_sec']:10.1f} ups "
+            f"{r['tflops_per_sec']:6.2f} TF/s"
+            + (f"  MFU={100 * r['mfu_vs_roof']:.1f}%" if r["mfu_vs_roof"] else ""),
+            file=sys.stderr,
+        )
+
+    out = {
+        "config": {"N": N, "M": M, "J": J, "dtype": "float32",
+                   "device": str(jax.devices()[0]), "roof_tflops": TPU_ROOF_TFLOPS},
+        "rows": rows,
+    }
+    with open("BENCH_TABLE.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print("wrote BENCH_TABLE.json", file=sys.stderr)
+    return out
 
 
 def main():
@@ -57,36 +183,16 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
-    from projected_langevin_sampling_tpu.training import _train_pls_scan
-
-    basis, cost, j = build()
-    key = jax.random.key(0)
-    particles = basis.initialise_particles(j, key=0)
+    basis, cost = build()
     # long scan: the axon tunnel adds ~35ms fixed dispatch latency per
     # execution, which would dominate a short run; production Langevin runs
     # are 1e5-1e7 steps (reference uci config maximum_number_of_steps)
     n_steps = 20_000
-    patience = float("inf")
-
     # the fused Pallas tier needs the TPU's hardware PRNG; fall back to the
     # XLA spectral tier elsewhere
-    fast_path = "spectral_fused" if jax.default_backend() != "cpu" else "auto"
-
-    # warmup / compile
-    result = _train_pls_scan(
-        basis, cost, particles, key, 1e-4, patience, n_steps, fast_path
-    )
-    jax.block_until_ready(result.particles)
-
-    times = []
-    for rep in range(3):
-        start = time.perf_counter()
-        result = _train_pls_scan(
-            basis, cost, particles, key, 1e-4, patience, n_steps, fast_path
-        )
-        jax.block_until_ready(result.particles)
-        times.append(time.perf_counter() - start)
-    ups = n_steps / min(times)
+    tier = "spectral_fused" if jax.default_backend() != "cpu" else "spectral"
+    r = _time_tier(basis, cost, tier, n_steps)
+    ups = r["updates_per_sec"]
 
     try:
         with open("BENCH_BASELINE.json") as f:
@@ -95,7 +201,7 @@ def main():
         baseline = None
 
     print(
-        f"device={jax.devices()[0]}, steps={n_steps}, times={times}",
+        f"device={jax.devices()[0]}, steps={n_steps}, tier={tier}, times={r['times']}",
         file=sys.stderr,
     )
     print(
@@ -111,4 +217,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--table", action="store_true", help="per-tier/cost table")
+    args = parser.parse_args()
+    if args.table:
+        run_table()
+    else:
+        main()

@@ -186,6 +186,15 @@ if __name__ == "__main__":
     if os.environ.get("PLST_X64", "1") != "0":
         # the reference runs float64; set PLST_X64=0 for fp32 (TPU production)
         jax.config.update("jax_enable_x64", True)
+    platform = os.environ.get("PLST_PLATFORM")
+    if platform is None and jax.config.jax_enable_x64:
+        # fp64 belongs on the host CPU (TPU fp64 is emulated and the device
+        # eigh is reduced-precision); fp32 production runs use the TPU.
+        # NOTE: set via jax.config, not JAX_PLATFORMS — a registered hardware
+        # plugin wins over the env var.
+        platform = "cpu"
+    if platform:
+        jax.config.update("jax_platforms", platform)
     args = parser.parse_args()
     with open(args.config_path) as file:
         loaded_config = yaml.safe_load(file)

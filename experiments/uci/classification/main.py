@@ -31,8 +31,9 @@ from experiments.runners import (
     train_svgp_runner,
 )
 from experiments.uci.constants import (
-    DATASET_SCHEMA_MAPPING,
+    EXTRA_CLASSIFICATION_DATASETS,
     ClassificationDatasetSchema,
+    resolve_schema,
 )
 from projected_langevin_sampling_tpu.models.basis import build_orthonormal_basis
 from projected_langevin_sampling_tpu.models.costs import BernoulliCost
@@ -63,7 +64,7 @@ def get_experiment_data(
         os.path.join("experiments", "uci", "datasets", f"{dataset_name}.csv")
     )
     df.columns = [c.lower().replace(" ", "") for c in df.columns]
-    schema = DATASET_SCHEMA_MAPPING[ClassificationDatasetSchema(dataset_name)]
+    schema = resolve_schema(dataset_name)
     input_columns = [c.lower().replace(" ", "") for c in schema.input_column_names]
     output_column = schema.output_column_name.lower().replace(" ", "")
     x = jnp.asarray(df[input_columns].to_numpy(dtype=float))
@@ -268,22 +269,35 @@ if __name__ == "__main__":
     if os.environ.get("PLST_X64", "1") != "0":
         # the reference runs float64; set PLST_X64=0 for fp32 (TPU production)
         jax.config.update("jax_enable_x64", True)
+    platform = os.environ.get("PLST_PLATFORM")
+    if platform is None and jax.config.jax_enable_x64:
+        # fp64 belongs on the host CPU (TPU fp64 is emulated and the device
+        # eigh is reduced-precision); fp32 production runs use the TPU.
+        # NOTE: set via jax.config, not JAX_PLATFORMS — a registered hardware
+        # plugin wins over the env var.
+        platform = "cpu"
+    if platform:
+        jax.config.update("jax_platforms", platform)
     args = parser.parse_args()
     with open(args.config_path) as file:
         loaded_config = yaml.safe_load(file)
     outputs_path = os.path.join(os.path.dirname(os.path.realpath(__file__)), "outputs")
     data_seeds = [args.data_seed] if args.data_seed >= 0 else list(range(10))
-    datasets = (
-        [ClassificationDatasetSchema(args.dataset)]
-        if args.dataset
-        else list(ClassificationDatasetSchema)
-    )
+    # --dataset also accepts the extra offline real datasets
+    # (constants.EXTRA_CLASSIFICATION_DATASETS); the full sweep stays the
+    # reference's 8-dataset list
+    if args.dataset and args.dataset in EXTRA_CLASSIFICATION_DATASETS:
+        dataset_names = [args.dataset]
+    elif args.dataset:
+        dataset_names = [ClassificationDatasetSchema(args.dataset).value]
+    else:
+        dataset_names = [d.value for d in ClassificationDatasetSchema]
     for seed in data_seeds:
-        for dataset in datasets:
+        for dataset_name in dataset_names:
             try:
                 main(
                     data_seed=seed,
-                    dataset_name=dataset.value,
+                    dataset_name=dataset_name,
                     data_config=loaded_config["data"],
                     kernel_config=loaded_config["kernel"],
                     inducing_points_config=loaded_config["inducing_points"],
@@ -293,11 +307,11 @@ if __name__ == "__main__":
                     outputs_path=outputs_path,
                 )
             except Exception as e:
-                print(f"Dataset {dataset.value} failed: {e}")
+                print(f"Dataset {dataset_name} failed: {e}")
         concatenate_metrics(
             results_path=os.path.join(outputs_path, str(seed), "results"),
             data_types=["train", "test"],
             model_names=MODEL_NAMES,
-            datasets=[d.value for d in datasets],
+            datasets=dataset_names,
             metrics=METRICS,
         )

@@ -170,3 +170,47 @@ DATASET_SCHEMA_MAPPING = {
     ClassificationDatasetSchema.wine_colour: WineColourDataset,
     ClassificationDatasetSchema.yeast: YeastDataset,
 }
+
+
+# --- extra REAL datasets available offline (sklearn-bundled UCI data) --------
+# Not part of the reference's dataset list; registered separately so the
+# full-suite loops stay reference-identical while ``--dataset breast_wdbc``
+# etc. run on genuinely real data in network-restricted environments
+# (see fetch_datasets.py --sklearn-bundled).
+class BreastWDBCDataset(Dataset):
+    # UCI Breast Cancer Wisconsin DIAGNOSTIC, bundled with scikit-learn
+    _FEATS = (
+        "radius", "texture", "perimeter", "area", "smoothness",
+        "compactness", "concavity", "concave_points", "symmetry",
+        "fractal_dimension",
+    )
+    input_column_names = (
+        [f"mean_{f}" for f in _FEATS]
+        + [f"{f}_error" for f in _FEATS]
+        + [f"worst_{f}" for f in _FEATS]
+    )
+    output_column_name = "target"
+
+
+class DiabetesSklearnDataset(Dataset):
+    # the real diabetes progression study (Efron et al.), bundled with sklearn
+    input_column_names = ["age", "sex", "bmi", "bp", "s1", "s2", "s3", "s4", "s5", "s6"]
+    output_column_name = "target"
+
+
+EXTRA_REGRESSION_DATASETS = {"diabetes_sklearn": DiabetesSklearnDataset}
+EXTRA_CLASSIFICATION_DATASETS = {"breast_wdbc": BreastWDBCDataset}
+
+
+def resolve_schema(name: str) -> Dataset:
+    """Schema lookup by dataset name: the reference's 6+8 datasets first,
+    then the extra offline real datasets."""
+    for enum_cls in (RegressionDatasetSchema, ClassificationDatasetSchema):
+        try:
+            return DATASET_SCHEMA_MAPPING[enum_cls(name)]
+        except ValueError:
+            continue
+    for extra in (EXTRA_REGRESSION_DATASETS, EXTRA_CLASSIFICATION_DATASETS):
+        if name in extra:
+            return extra[name]
+    raise KeyError(f"unknown dataset {name!r}")
