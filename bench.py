@@ -72,11 +72,12 @@ def _flops_per_step(tier, m_k=M, n=N, j=J):
     """MXU FLOPs of ONE training step (energy included), by tier.
 
     general/off: two (N,M_k)x(M_k,J) matmuls per step (predictions are
-    carried across steps — training.py _step_carry_pred)    = 4 N M_k J
+    carried across steps — training.py _step_carry_pred); the fused Pallas
+    kernel (general_fused) runs the same contraction count = 4 N M_k J
     quadratic:   one (M_k,M_k)x(M_k,J) matmul per step      = 2 M_k^2 J
     spectral*:   elementwise only                           = ~0 (PRNG-bound)
     """
-    if tier == "off":
+    if tier in ("off", "general_fused"):
         return 4.0 * n * m_k * j
     if tier == "quadratic":
         return 2.0 * m_k * m_k * j
@@ -141,6 +142,7 @@ def run_table():
     ]
     if on_tpu:
         cells.insert(3, ("gaussian", "spectral_fused", 20000))
+        cells.append(("bernoulli", "general_fused", 2000))
 
     rows = []
     for cost_name, tier, n_steps in cells:

@@ -1,0 +1,284 @@
+"""Pallas TPU kernel: the ENTIRE general-cost Langevin training run in one
+launch (ONB basis, any closed-form cost).
+
+The general (N-space) path is what every non-Gaussian cost runs
+(Bernoulli / Poisson / Student-T — reference hot loop
+``experiments/trainers.py:149-161`` with e.g. the Bernoulli closed-form
+gradient ``costs/bernoulli.py:64-77``). Per step it is two large matmuls:
+
+    F  = P @ U                     (N, M_k) x (M_k, J)
+    G  = P^T @ dc(F)               (M_k, N) x (N, J)
+    U' = U - eta G - eta U/lambda + sqrt(2 eta) eps
+
+XLA's scan does this at ~63% MFU but round-trips F (N, J) and the noise
+through HBM every step and re-reads P twice. This kernel keeps EVERYTHING
+resident in VMEM for the whole run:
+
+  * P stays in VMEM across all T steps (stored bfloat16 — the same operand
+    precision XLA's default f32 matmul uses on this TPU, one bf16 MXU pass);
+  * F is never materialised: the N axis is swept in tiles, dc is computed
+    on the tile and immediately contracted into the f32 accumulator G;
+  * noise comes from the hardware PRNG (Box-Muller, as in
+    ``spectral_train.py``);
+  * the per-step energy (cost at the UPDATED particles + prior quadratic)
+    falls out of the NEXT step's F sweep — matching the production scan's
+    carried-prediction trick (training.py ``_step_carry_pred``) — and the
+    reference's simulation-time early stopping runs in-kernel.
+
+HBM traffic for the whole run: read P + U0 + y once, write U_final + the
+(T,) energy trace once — zero bytes per step. The step-time floor is the
+MXU (4 N M_k J flops/step) plus the Box-Muller VPU work.
+
+Supported costs (closed forms identical to the library's):
+gaussian-identity, bernoulli-sigmoid, poisson-square, student_t-identity.
+Autograd-only costs (MultiModal, probit links) stay on the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from projected_langevin_sampling_tpu.ops.pallas.spectral_train import (
+    _standard_normals,
+)
+
+Array = jax.Array
+
+COST_KINDS = ("gaussian", "bernoulli_sigmoid", "poisson_square", "student_t")
+_SIGMOID_JITTER = 1e-10
+
+
+def _tile_cost_and_dc(kind: str, f, y, valid, p0, p1):
+    """Per-tile cost (N_t, J) and derivative (N_t, J) for the closed-form
+    cost families; ``valid`` masks padded rows (zero contribution).
+
+    p0/p1 are the cost's scalar parameters:
+      gaussian:    p0 = observation noise (variance-in-NLL quirk preserved)
+      bernoulli:   unused
+      poisson:     unused
+      student_t:   p0 = degrees of freedom, p1 = scale
+    """
+    if kind == "gaussian":
+        err = f - y
+        cost = (0.5 / p0) * jnp.square(err)
+        dc = err / p0
+    elif kind == "bernoulli_sigmoid":
+        p = jnp.clip(jax.nn.sigmoid(f), _SIGMOID_JITTER, 1.0 - _SIGMOID_JITTER)
+        cost = -(y * jnp.log(p) + (1.0 - y) * jnp.log(1.0 - p))
+        dc = p - y
+    elif kind == "poisson_square":
+        # guard the padded rows BEFORE log/divide (f == 0 there)
+        f_safe = jnp.where(valid, f, 1.0)
+        cost = -2.0 * y * jnp.log(jnp.abs(f_safe)) + jnp.square(f_safe)
+        dc = -2.0 * y / f_safe + 2.0 * f_safe
+    elif kind == "student_t":
+        err = f - y
+        denom = p0 * (p1 * p1)
+        cost = 0.5 * (p0 + 1.0) * jnp.log1p(jnp.square(err) / denom)
+        dc = (p0 + 1.0) * err / (denom + jnp.square(err))
+    else:  # pragma: no cover — guarded by COST_KINDS at the wrapper
+        raise ValueError(kind)
+    zero = jnp.zeros((), dtype=f.dtype)
+    return jnp.where(valid, cost, zero), jnp.where(valid, dc, zero)
+
+
+def _general_train_kernel(
+    p_ref,  # (N_pad, M_k) bf16 train projection, VMEM-resident all run
+    u_in_ref,  # (M_k, J) f32 initial particles (aliased to u_out)
+    y_ref,  # (N_pad, 1) f32 targets (zero in padded rows)
+    inv_lam_ref,  # (M_k, 1) f32 1/eigenvalues (ONB prior precision)
+    scalar_ref,  # (1, 7) SMEM: [seed, eta, patience, p0, p1, n_valid, J]
+    u_out_ref,  # (M_k, J) f32 final particles
+    energy_ref,  # (T, 1) f32 energy trace (NaN once stopped)
+    g_ref,  # (M_k, J) f32 scratch: drift accumulator
+    *,
+    num_steps: int,
+    tile_n: int,
+    cost_kind: str,
+    zero_noise: bool = False,  # test hook: deterministic gradient flow
+):
+    pltpu.prng_seed(scalar_ref[0, 0].astype(jnp.int32))
+    eta = scalar_ref[0, 1]
+    patience = scalar_ref[0, 2]
+    p0 = scalar_ref[0, 3]
+    p1 = scalar_ref[0, 4]
+    n_valid = scalar_ref[0, 5].astype(jnp.int32)
+    j_count = scalar_ref[0, 6]
+    root2eta = jnp.sqrt(2.0 * eta)
+    n_pad, m_k = p_ref.shape
+    j = u_in_ref.shape[1]
+    n_tiles = n_pad // tile_n
+
+    u_out_ref[:] = u_in_ref[:]
+    inv_lam = inv_lam_ref[:]
+
+    def sweep(with_g: bool):
+        """One pass over the N tiles at the CURRENT particles: accumulates
+        per-particle cost; optionally accumulates the data drift into g_ref."""
+        u_b = u_out_ref[:].astype(jnp.bfloat16)
+        if with_g:
+            g_ref[:] = jnp.zeros_like(g_ref)
+
+        def tile_body(nt, cost_j):
+            row0 = nt * tile_n
+            p_t = p_ref[pl.ds(row0, tile_n), :]
+            f = jax.lax.dot(p_t, u_b, preferred_element_type=jnp.float32)
+            y_t = y_ref[pl.ds(row0, tile_n), :]
+            rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (tile_n, 1), 0)
+            valid = rows < n_valid
+            cost_t, dc = _tile_cost_and_dc(cost_kind, f, y_t, valid, p0, p1)
+            if with_g:
+                g_ref[:] += jax.lax.dot_general(
+                    p_t,
+                    dc.astype(jnp.bfloat16),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            return cost_j + jnp.sum(cost_t, axis=0)
+
+        return jax.lax.fori_loop(0, n_tiles, tile_body, jnp.zeros((j,), jnp.float32))
+
+    def energy_at_current(cost_j):
+        u = u_out_ref[:]
+        prior_j = 0.5 * jnp.sum(jnp.square(u) * inv_lam, axis=0)
+        return jnp.sum(cost_j + prior_j) / j_count
+
+    def body(t, carry):
+        min_loss, sim_time, stopped = carry
+        cost_j = sweep(with_g=True)
+
+        # the cost of THIS sweep is the energy of the PREVIOUS update
+        # (reference records energy after each update; index t-1)
+        energy = jnp.where(stopped, jnp.float32(jnp.nan), energy_at_current(cost_j))
+
+        @pl.when(t > 0)
+        def _():
+            energy_ref[pl.ds(t - 1, 1), :] = energy.reshape(1, 1)
+
+        # EarlyStopper semantics on the recorded energy (early_stopper.py:15-24)
+        finite = jnp.isfinite(energy)
+        improved = energy < min_loss
+        sim_time_new = jnp.where(improved, 0.0, sim_time + eta)
+        should_stop = (t > 0) & ((~finite) | ((~improved) & (sim_time_new >= patience)))
+        min_loss = jnp.where(
+            stopped | (t == 0), min_loss, jnp.where(improved, energy, min_loss)
+        )
+        sim_time = jnp.where(stopped | (t == 0), sim_time, sim_time_new)
+        stopped = stopped | should_stop
+
+        @pl.when(jnp.logical_not(stopped))
+        def _():
+            u = u_out_ref[:]
+            drift = eta * (g_ref[:] + u * inv_lam)
+            if zero_noise:
+                u_out_ref[:] = u - drift
+            else:
+                u_out_ref[:] = u - drift + root2eta * _standard_normals(u.shape)
+
+        return min_loss, sim_time, stopped
+
+    min_loss, sim_time, stopped = jax.lax.fori_loop(
+        0,
+        num_steps,
+        body,
+        (jnp.float32(jnp.inf), jnp.float32(0.0), jnp.bool_(False)),
+    )
+
+    # the final update's energy needs one more cost sweep
+    final_cost_j = sweep(with_g=False)
+    final_energy = jnp.where(
+        stopped, jnp.float32(jnp.nan), energy_at_current(final_cost_j)
+    )
+    energy_ref[pl.ds(num_steps - 1, 1), :] = final_energy.reshape(1, 1)
+
+
+def _pick_tile_n(n: int) -> int:
+    """MXU-friendly N tile; N is padded UP to a multiple of this (padded rows
+    are masked in-kernel), so never fall back to skinny tiles."""
+    return min(512, -(-n // 8) * 8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_steps", "cost_kind", "interpret", "zero_noise")
+)
+def general_train_fused(
+    p: Array,  # (N, M_k) train projection (any float dtype; stored bf16)
+    u0: Array,  # (M_k, J) initial particles
+    y: Array,  # (N,) targets
+    eigenvalues: Array,  # (M_k,) ONB eigenvalues
+    cost_kind: str,
+    seed,
+    eta,
+    patience,
+    num_steps: int,
+    cost_param0=0.0,
+    cost_param1=0.0,
+    interpret: bool = False,
+    zero_noise: bool = False,
+) -> tuple[Array, Array]:
+    """Run num_steps general-path training steps fully in VMEM.
+
+    Returns (u_final, energies) with the same semantics as the "off" tier of
+    ``_train_pls_scan`` (NaN energies after the early stop). Law-equivalent,
+    not path-equivalent (hardware PRNG; bf16 MXU operands — the same operand
+    precision as XLA's default f32 matmul on this TPU)."""
+    assert cost_kind in COST_KINDS, cost_kind
+    n, m_k = p.shape
+    j = u0.shape[1]
+    # pad N to a tile multiple; padded rows are masked in-kernel
+    tile_n = _pick_tile_n(n)
+    n_pad = -(-n // tile_n) * tile_n
+    p_pad = jnp.zeros((n_pad, m_k), dtype=jnp.bfloat16).at[:n].set(
+        p.astype(jnp.bfloat16)
+    )
+    y_pad = jnp.zeros((n_pad, 1), dtype=jnp.float32).at[:n, 0].set(
+        y.astype(jnp.float32)
+    )
+    scalars = jnp.stack(
+        [
+            jnp.asarray(seed, dtype=jnp.float32),
+            jnp.asarray(eta, dtype=jnp.float32),
+            jnp.asarray(patience, dtype=jnp.float32),
+            jnp.asarray(cost_param0, dtype=jnp.float32),
+            jnp.asarray(cost_param1, dtype=jnp.float32),
+            jnp.asarray(n, dtype=jnp.float32),
+            jnp.asarray(j, dtype=jnp.float32),
+        ]
+    )[None, :]
+    inv_lam = (1.0 / eigenvalues.astype(jnp.float32))[:, None]
+    u_final, energies = pl.pallas_call(
+        functools.partial(
+            _general_train_kernel,
+            num_steps=num_steps,
+            tile_n=tile_n,
+            cost_kind=cost_kind,
+            zero_noise=zero_noise,
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((m_k, j), jnp.float32),
+            jax.ShapeDtypeStruct((num_steps, 1), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((m_k, j), jnp.float32)],
+        input_output_aliases={1: 0},
+        # raise the default 16 MB scoped-VMEM cap: P (bf16) + U + G + the
+        # Box-Muller temporaries exceed it at production scale
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(p_pad, u0.astype(jnp.float32), y_pad, inv_lam, scalars)
+    return u_final, energies[:, 0]

@@ -73,6 +73,43 @@ def spectral_fast_path_available(basis, cost) -> bool:
     )
 
 
+def general_fused_cost_spec(basis, cost):
+    """(cost_kind, param0, param1) for the fused whole-run general kernel
+    (``ops/pallas/general_train.py``), or None when the (basis, cost, link)
+    combination is outside its closed-form families."""
+    from projected_langevin_sampling_tpu.models.basis.orthonormal import (
+        OrthonormalBasis,
+    )
+    from projected_langevin_sampling_tpu.models.costs import (
+        BernoulliCost,
+        GaussianCost,
+        PoissonCost,
+        StudentTCost,
+    )
+    from projected_langevin_sampling_tpu.models.link_functions import (
+        IdentityLinkFunction,
+        SigmoidLinkFunction,
+        SquareLinkFunction,
+    )
+
+    if not isinstance(basis, OrthonormalBasis):
+        return None
+    link = cost.link_function
+    if isinstance(cost, GaussianCost) and isinstance(link, IdentityLinkFunction):
+        return ("gaussian", cost.observation_noise, 0.0)
+    if (
+        isinstance(cost, BernoulliCost)
+        and isinstance(link, SigmoidLinkFunction)
+        and link.jitter == 1e-10  # the kernel hard-codes the library default
+    ):
+        return ("bernoulli_sigmoid", 0.0, 0.0)
+    if isinstance(cost, PoissonCost) and isinstance(link, SquareLinkFunction):
+        return ("poisson_square", 0.0, 0.0)
+    if isinstance(cost, StudentTCost) and isinstance(link, IdentityLinkFunction):
+        return ("student_t", cost.degrees_of_freedom, cost.scale)
+    return None
+
+
 def resolve_fast_path(basis, cost, fast_path: str, particles_bytes: int | None = None) -> str:
     """Resolve a fast-path request to the tier that will actually run.
 
@@ -100,6 +137,18 @@ def resolve_fast_path(basis, cost, fast_path: str, particles_bytes: int | None =
         # for noise + temporaries)
         if particles_bytes > 8 * 1024 * 1024:
             return "spectral"
+    if fast_path == "general_fused":
+        # whole-run kernel keeps P (bf16) + U + drift accumulator + temps in
+        # VMEM (it raises the scoped cap to ~100 MB); fall back to the XLA
+        # general path when the resident set cannot fit or the cost has no
+        # closed form in the kernel
+        if general_fused_cost_spec(basis, cost) is None:
+            return "off"
+        if particles_bytes is not None:
+            p_bytes = 2 * basis.train_projection.size  # bf16-resident
+            if p_bytes + 4 * particles_bytes > 90 * 1024 * 1024:
+                return "off"
+        return "general_fused"
     if fast_path in ("spectral", "spectral_fused") and not spectral_fast_path_available(
         basis, cost
     ):
@@ -331,6 +380,32 @@ def _train_pls_scan(
             (q_mat @ w_final.astype(dtype)), energies, recorded, steps_run
         )
 
+    if tier == "general_fused":
+        # whole-run general-cost kernel (TPU only, opt-in): P resident in
+        # VMEM, F never materialised, hardware PRNG, in-kernel early stopping
+        from projected_langevin_sampling_tpu.ops.pallas.general_train import (
+            general_train_fused,
+        )
+
+        kind, p0, p1 = general_fused_cost_spec(basis, cost)
+        seed = jax.random.randint(key, (), 0, 2**31 - 1)
+        u_final, energies = general_train_fused(
+            basis.train_projection,
+            particles,
+            cost.y_train,
+            basis.eigenvalues,
+            kind,
+            seed=seed,
+            eta=step_size,
+            patience=patience,
+            num_steps=number_of_epochs,
+            cost_param0=p0,
+            cost_param1=p1,
+        )
+        energies = energies.astype(dtype)
+        recorded, steps_run = _replay_early_stopper(energies, step_size, patience)
+        return TrainResult(u_final.astype(dtype), energies, recorded, steps_run)
+
     if tier == "spectral":
         sigma, q_mat, b_rot, e_const = spectral()
         decay = 1.0 - step_size * sigma  # (M,)
@@ -510,6 +585,28 @@ def langevin_steps(
             num_steps=n_steps,
         )
         return q_mat @ w_final.astype(dtype)
+
+    if tier == "general_fused":
+        from projected_langevin_sampling_tpu.ops.pallas.general_train import (
+            general_train_fused,
+        )
+
+        kind, p0, p1 = general_fused_cost_spec(basis, cost)
+        seed = jax.random.randint(key, (), 0, 2**31 - 1)
+        u_final, _ = general_train_fused(
+            basis.train_projection,
+            particles,
+            cost.y_train,
+            basis.eigenvalues,
+            kind,
+            seed=seed,
+            eta=step_size,
+            patience=jnp.inf,
+            num_steps=n_steps,
+            cost_param0=p0,
+            cost_param1=p1,
+        )
+        return u_final.astype(dtype)
 
     if tier == "spectral":
         sigma, q_mat, b_rot, _ = spectral()
