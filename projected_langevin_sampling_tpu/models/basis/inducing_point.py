@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from projected_langevin_sampling_tpu.models.basis.base import PLSBasisMixin
 from projected_langevin_sampling_tpu.ops.kernels import PLSKernel, ard_gram
 from projected_langevin_sampling_tpu.ops.linalg import (
-    psd_sqrt,
+    psd_sqrt_host,
     robust_cholesky,
     sample_multivariate_normal,
 )
@@ -198,7 +198,7 @@ def build_inducing_point_basis(
     train_projection = jax.scipy.linalg.cho_solve(
         (chol, True), base_gram_induce_train
     ).T  # (N, M)
-    noise_factor = psd_sqrt(base_gram_induce)
+    noise_factor = psd_sqrt_host(base_gram_induce)
 
     return InducingPointBasis(
         kernel=kernel,

@@ -189,7 +189,11 @@ def build_orthonormal_basis(
     base_gram_induce = ard_gram(kernel.base_kernel, x_induce, x_induce)  # (M, M)
     base_gram_induce_train = ard_gram(kernel.base_kernel, x_induce, x_train)  # (M, N)
 
-    eigenvalues, eigenvectors = np.linalg.eigh(np.asarray(base_gram_induce) / m)
+    # host fp64 regardless of the working dtype — LAPACK ssyevd on fp32
+    # inputs loses digits the thresholding below is sensitive to
+    eigenvalues, eigenvectors = np.linalg.eigh(
+        np.asarray(base_gram_induce, dtype=np.float64) / m
+    )
     keep = np.where(eigenvalues > eigenvalue_threshold)[0]
     eigenvalues = eigenvalues[keep]
     eigenvectors = eigenvectors[:, keep]

@@ -33,6 +33,22 @@ def psd_sqrt(cov: Array) -> Array:
     return eigenvectors * jnp.sqrt(eigenvalues)[None, :]
 
 
+def psd_sqrt_host(cov: Array) -> Array:
+    """``psd_sqrt`` computed eagerly in HOST float64 (then cast back).
+
+    For build-time factorisations in fp32 production runs: the TPU's device
+    eigh is reduced-precision, and LAPACK's fp32 eigh loses digits — the
+    factor is constant per model, so it is computed once on the host in fp64
+    (the same policy as the ONB basis build and ``spectral_system_host``)."""
+    import numpy as np
+
+    cov64 = np.asarray(jax.device_get(cov), dtype=np.float64)
+    eigenvalues, eigenvectors = np.linalg.eigh(cov64)
+    eigenvalues = np.clip(eigenvalues, 0.0, None)
+    factor = eigenvectors * np.sqrt(eigenvalues)[None, :]
+    return jnp.asarray(factor, dtype=cov.dtype)
+
+
 def sample_with_factor(key: jax.Array, factor: Array, size: int, mean: Array | None = None) -> Array:
     """Draw ``size`` MVN samples given a precomputed factor (M, M) -> (M, size)."""
     z = jax.random.normal(key, (factor.shape[1], size), dtype=factor.dtype)
