@@ -101,8 +101,8 @@ def main(
         save_path=os.path.join(plot_curve_path, "experiment-data.png"),
     )
 
-    # kernel learned on +-1-style regression surrogates of the labels
-    # (the reference trains the subsample GPs directly on the 0/1 labels)
+    # kernel learned on Dirichlet-transformed logit-scale targets
+    # (reference curves/classification/main.py:162-189)
     (_, ard_kernel, _, mean_constant, inducing_points, pls_kernel) = (
         learn_kernel_and_inducing_points(
             experiment_data=experiment_data,
@@ -111,6 +111,7 @@ def main(
             models_path=models_path,
             data_path=data_path,
             plot_curve_path=plot_curve_path,
+            dirichlet_labels=True,
         )
     )
 

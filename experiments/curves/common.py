@@ -17,6 +17,7 @@ from experiments.constructors import (
 from experiments.data import ExperimentData
 from experiments.loaders import load_pls, save_pls
 from experiments.runners import (
+    dirichlet_exact_gp_runner,
     exact_gp_runner,
     inducing_points_runner,
     plot_pls_1d_particles_runner,
@@ -36,13 +37,18 @@ def learn_kernel_and_inducing_points(
     data_path: str,
     plot_curve_path: str,
     regression_targets=None,
+    dirichlet_labels: bool = False,
 ):
     """Subsample exact-GP fits -> averaged ARD kernel (+likelihood, mean) ->
-    greedy inducing points with M = factor * N^(1/power)."""
+    greedy inducing points with M = factor * N^(1/power).
+
+    ``dirichlet_labels=True``: classification — fit the GPs on
+    Dirichlet-transformed logit-scale targets per class (reference
+    ``curves/classification/main.py:162-189``)."""
     train = experiment_data.train
     gp_train_data = train
     if regression_targets is not None:
-        # classification mains learn the kernel on surrogate regression labels
+        # poisson/mixture mains learn the kernel on surrogate regression labels
         from experiments.data import Data
 
         gp_train_data = Data(x=train.x, y=regression_targets, name="train")
@@ -54,7 +60,8 @@ def learn_kernel_and_inducing_points(
             test=experiment_data.test,
             validation=experiment_data.validation,
         )
-    subsample_gp_models = exact_gp_runner(
+    runner = dirichlet_exact_gp_runner if dirichlet_labels else exact_gp_runner
+    subsample_gp_models = runner(
         experiment_data=experiment_data,
         kernel=ARDKernel(
             lengthscales=jnp.ones(train.x.shape[1], dtype=train.x.dtype),

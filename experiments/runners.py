@@ -36,6 +36,62 @@ from projected_langevin_sampling_tpu.ops.kernels import ARDKernel
 Array = jax.Array
 
 
+def dirichlet_exact_gp_runner(
+    experiment_data: ExperimentData,
+    kernel: ARDKernel,
+    subsample_size: int,
+    seed: int,
+    number_of_epochs: int,
+    learning_rate: float,
+    number_of_iterations: int,
+    early_stopper_patience: float,
+    model_path: str,
+    data_path: str,
+    plot_loss_path: str | None = None,
+) -> list:
+    """Classification kernel learning (reference
+    ``uci/classification/main.py:133-160``): Dirichlet-transform the labels
+    (gpytorch ``DirichletClassificationLikelihood``), fit the subsample GPs
+    per class on the transformed logit-scale targets with the per-point fixed
+    noise, and return ALL models (classes x iterations) for kernel averaging.
+    Fitting on raw 0/1 labels instead learns an outputscale ~100x too small —
+    the prior then cannot move the sigmoid off 0.5."""
+    from projected_langevin_sampling_tpu.models.gaussian_process.dirichlet import (
+        dirichlet_classification_targets,
+    )
+
+    targets, noise_variances, num_classes = dirichlet_classification_targets(
+        experiment_data.train.y
+    )
+    models = []
+    for c in range(num_classes):
+        experiment_data_c = ExperimentData(
+            name=experiment_data.name,
+            problem_type=experiment_data.problem_type,
+            full=experiment_data.full,
+            train=Data(x=experiment_data.train.x, y=targets[c], name="train"),
+            test=experiment_data.test,
+            validation=experiment_data.validation,
+        )
+        models.extend(
+            exact_gp_runner(
+                experiment_data=experiment_data_c,
+                kernel=kernel,
+                subsample_size=subsample_size,
+                seed=seed,
+                number_of_epochs=number_of_epochs,
+                learning_rate=learning_rate,
+                number_of_iterations=number_of_iterations,
+                early_stopper_patience=early_stopper_patience,
+                model_path=os.path.join(model_path, f"class_{c}"),
+                data_path=os.path.join(data_path, f"class_{c}"),
+                plot_loss_path=plot_loss_path,
+                fixed_noise_variances=noise_variances[c],
+            )
+        )
+    return models
+
+
 def inducing_points_runner(
     seed: int,
     inducing_point_selector: InducingPointSelector,
@@ -64,20 +120,30 @@ def inducing_points_runner(
     )
 
 
-def load_subsample_data(data: Data, subsample_size: int, seed: int | None = None) -> Data:
-    """kNN neighbourhood subsample around a random point
-    (reference ``runners.py:66-85``)."""
-    if subsample_size > len(data.x):
-        return data
+def subsample_data_indices(
+    x, subsample_size: int, seed: int | None = None
+):
+    """kNN neighbourhood subsample indices around a random point
+    (reference ``runners.py:66-85``); None = take everything."""
+    x = np.asarray(x)
+    if subsample_size > len(x):
+        return None
     rng = np.random.default_rng(seed)
-    x = np.asarray(data.x)
     knn = NearestNeighbors(n_neighbors=subsample_size, p=2)
     knn.fit(X=x)
     centre = x[rng.integers(x.shape[0])][None, :]
-    subsample_indices = knn.kneighbors(X=centre, return_distance=False).flatten()
+    return knn.kneighbors(X=centre, return_distance=False).flatten()
+
+
+def load_subsample_data(data: Data, subsample_size: int, seed: int | None = None) -> Data:
+    """kNN neighbourhood subsample around a random point
+    (reference ``runners.py:66-85``)."""
+    idx = subsample_data_indices(data.x, subsample_size, seed)
+    if idx is None:
+        return data
     return Data(
-        x=jnp.asarray(x[subsample_indices]),
-        y=jnp.asarray(np.asarray(data.y)[subsample_indices]),
+        x=jnp.asarray(np.asarray(data.x)[idx]),
+        y=jnp.asarray(np.asarray(data.y)[idx]),
     )
 
 
@@ -94,8 +160,12 @@ def exact_gp_runner(
     data_path: str,
     plot_1d_subsample_path: str | None = None,
     plot_loss_path: str | None = None,
+    fixed_noise_variances=None,
 ) -> list:
-    """Train-or-load k subsample exact GPs (reference ``runners.py:88-187``)."""
+    """Train-or-load k subsample exact GPs (reference ``runners.py:88-187``).
+
+    ``fixed_noise_variances``: per-train-point noise (N,), subsampled with
+    the same kNN indices as (x, y) — the Dirichlet classification case."""
     from experiments.plotters import plot_1d_gp_prediction_and_inducing_points, plot_losses
 
     create_directory(model_path)
@@ -114,11 +184,22 @@ def exact_gp_runner(
         if os.path.exists(ckpt):
             model, losses = load_ard_exact_gp_model(ckpt)
         else:
-            data = load_subsample_data(
-                data=experiment_data.train,
-                subsample_size=subsample_size,
-                seed=seed + i,
+            idx = subsample_data_indices(
+                experiment_data.train.x, subsample_size, seed=seed + i
             )
+            if idx is None:
+                data = experiment_data.train
+                fixed_i = fixed_noise_variances
+            else:
+                data = Data(
+                    x=jnp.asarray(np.asarray(experiment_data.train.x)[idx]),
+                    y=jnp.asarray(np.asarray(experiment_data.train.y)[idx]),
+                )
+                fixed_i = (
+                    None
+                    if fixed_noise_variances is None
+                    else jnp.asarray(np.asarray(fixed_noise_variances)[idx])
+                )
             model, losses = train_exact_gp(
                 data=data,
                 kernel=kernel,
@@ -127,6 +208,7 @@ def exact_gp_runner(
                 learning_rate=learning_rate,
                 early_stopper_patience=early_stopper_patience,
                 model_name=model_name,
+                fixed_noise_variances=fixed_i,
             )
             save_ard_exact_gp_model(ckpt, model, losses)
             if plot_1d_subsample_path is not None:

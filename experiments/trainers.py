@@ -58,6 +58,7 @@ def train_exact_gp(
     noise: float = 1.0,
     mean_constant: float = 0.0,
     model_name: str | None = None,
+    fixed_noise_variances=None,
 ) -> tuple[ExactGP, list[float]]:
     """Adam on the exact MLL (reference ``trainers.py:15-52``)."""
     del seed  # the optax loop is deterministic given the data
@@ -70,6 +71,7 @@ def train_exact_gp(
         learning_rate=learning_rate,
         number_of_epochs=number_of_epochs,
         early_stopper_patience=early_stopper_patience,
+        fixed_noise_variances=fixed_noise_variances,
     )
 
 

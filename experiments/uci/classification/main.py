@@ -25,7 +25,7 @@ from experiments.metrics import calculate_metrics, concatenate_metrics
 from experiments.plotters import plot_eigenvalues
 from experiments.preprocess import set_up_experiment
 from experiments.runners import (
-    exact_gp_runner,
+    dirichlet_exact_gp_runner,
     inducing_points_runner,
     train_pls_runner,
     train_svgp_runner,
@@ -119,9 +119,10 @@ def main(
         )
         experiment_data.save(experiment_data_path)
 
-    # kernel hyperparameters from subsample GPs on the binary labels
-    # (the reference trains Gaussian-likelihood GPs directly on the labels)
-    subsample_gp_models = exact_gp_runner(
+    # kernel hyperparameters from subsample GPs on the Dirichlet-transformed
+    # labels (reference main.py:133-160 — DirichletClassificationLikelihood):
+    # logit-scale targets per class with fixed per-point noise
+    subsample_gp_models = dirichlet_exact_gp_runner(
         experiment_data=experiment_data,
         kernel=ARDKernel(
             lengthscales=jnp.ones(experiment_data.train.x.shape[1]),

@@ -26,13 +26,24 @@ class ExactGP:
 
     mean_constant: Array  # scalar
     kernel: ARDKernel
-    noise: Array  # noise variance (scalar)
+    noise: Array  # noise variance (scalar; the LEARNED part)
     x_train: Array  # (N, D)
     y_train: Array  # (N,)
+    # optional per-point fixed heteroscedastic noise variances (N,) — the
+    # gpytorch FixedNoiseGaussianLikelihood case used by the Dirichlet
+    # classification transform (learned `noise` is then the additional noise)
+    fixed_noise_variances: Array | None = None
 
     @property
     def likelihood_noise(self) -> Array:
         return self.noise
+
+    def _noise_diag(self) -> Array:
+        n = self.y_train.shape[0]
+        diag = self.noise * jnp.ones(n, dtype=self.y_train.dtype)
+        if self.fixed_noise_variances is not None:
+            diag = diag + self.fixed_noise_variances
+        return diag
 
     def prior(self, x: Array) -> tuple[Array, Array]:
         """Latent prior mean vector and covariance at x (reference
@@ -47,7 +58,7 @@ class ExactGP:
         ``gpytorch.mlls.ExactMarginalLogLikelihood``."""
         n = self.y_train.shape[0]
         mean, k = self.prior(self.x_train)
-        k_noisy = k + self.noise * jnp.eye(n, dtype=k.dtype)
+        k_noisy = k + jnp.diag(self._noise_diag())
         chol = jnp.linalg.cholesky(k_noisy)
         resid = self.y_train - mean
         alpha = jax.scipy.linalg.cho_solve((chol, True), resid)
@@ -57,9 +68,8 @@ class ExactGP:
     def predict_f(self, x: Array) -> MultivariateNormal:
         """Latent posterior p(f* | y) with diagonal covariance."""
         x = x[:, None] if x.ndim == 1 else x
-        n = self.y_train.shape[0]
         mean_train, k_train = self.prior(self.x_train)
-        k_noisy = k_train + self.noise * jnp.eye(n, dtype=k_train.dtype)
+        k_noisy = k_train + jnp.diag(self._noise_diag())
         chol = jnp.linalg.cholesky(k_noisy)
         k_cross = self.kernel(x, self.x_train)  # (N*, N)
         alpha = jax.scipy.linalg.cho_solve((chol, True), self.y_train - mean_train)

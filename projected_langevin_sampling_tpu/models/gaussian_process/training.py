@@ -35,7 +35,7 @@ Array = jax.Array
 # --------------------------------------------------------------------------
 # Exact GP
 # --------------------------------------------------------------------------
-def _exact_gp_from_params(params, x, y) -> ExactGP:
+def _exact_gp_from_params(params, x, y, fixed_noise_variances=None) -> ExactGP:
     return ExactGP(
         mean_constant=params["mean_constant"],
         kernel=ARDKernel(
@@ -45,6 +45,7 @@ def _exact_gp_from_params(params, x, y) -> ExactGP:
         noise=jnp.exp(params["log_noise"]),
         x_train=x,
         y_train=y,
+        fixed_noise_variances=fixed_noise_variances,
     )
 
 
@@ -57,11 +58,18 @@ def fit_exact_gp(
     learning_rate: float = 0.1,
     number_of_epochs: int = 100,
     early_stopper_patience: float = float("inf"),
+    fixed_noise_variances: Array | None = None,
 ) -> tuple[ExactGP, list[float]]:
-    """Adam on the negative exact MLL (reference ``trainers.py:15-52``)."""
+    """Adam on the negative exact MLL (reference ``trainers.py:15-52``).
+
+    ``fixed_noise_variances``: per-point heteroscedastic noise added to the
+    learned scalar (the Dirichlet classification case — gpytorch
+    ``FixedNoiseGaussianLikelihood(learn_additional_noise=True)``)."""
     x = jnp.asarray(x)
     x = x[:, None] if x.ndim == 1 else x
     y = jnp.asarray(y)
+    if fixed_noise_variances is not None:
+        fixed_noise_variances = jnp.asarray(fixed_noise_variances, dtype=x.dtype)
     dtype = x.dtype
     params = {
         "mean_constant": jnp.asarray(mean_constant, dtype=dtype),
@@ -74,7 +82,9 @@ def fit_exact_gp(
 
     def step(params, opt_state):
         loss, grads = jax.value_and_grad(
-            lambda p: -_exact_gp_from_params(p, x, y).log_marginal_likelihood()
+            lambda p: -_exact_gp_from_params(
+                p, x, y, fixed_noise_variances
+            ).log_marginal_likelihood()
         )(params)
         updates, opt_state = optimizer.update(grads, opt_state)
         return loss, optax.apply_updates(params, updates), opt_state
@@ -121,7 +131,7 @@ def fit_exact_gp(
     losses = [
         float(l) for l, r in zip(loss_trace.tolist(), recorded.tolist()) if r
     ]
-    return _exact_gp_from_params(params, x, y), losses
+    return _exact_gp_from_params(params, x, y, fixed_noise_variances), losses
 
 
 # --------------------------------------------------------------------------
