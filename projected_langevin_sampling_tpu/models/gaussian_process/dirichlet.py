@@ -37,12 +37,15 @@ def dirichlet_classification_targets(
     ``learn_additional_noise=True`` the reference adds a learned scalar on
     top — pass these as ``fixed_noise_variances`` to ``fit_exact_gp``.
     """
+    import numpy as np
+
     labels = jnp.asarray(labels)
-    int_labels = labels.astype(jnp.int32)
-    num_classes = int(jax.device_get(int_labels.max())) + 1
-    one_hot = jax.nn.one_hot(int_labels, num_classes, dtype=jnp.float64).T  # (C, N)
+    # host fp64 (runs once per experiment; avoids the x64-disabled downcast)
+    int_labels = np.asarray(jax.device_get(labels)).astype(np.int64)
+    num_classes = int(int_labels.max()) + 1
+    one_hot = np.eye(num_classes, dtype=np.float64)[int_labels].T  # (C, N)
     alpha = alpha_epsilon + one_hot
-    sigma2 = jnp.log(1.0 / alpha + 1.0)
-    targets = jnp.log(alpha) - 0.5 * sigma2
+    sigma2 = np.log(1.0 / alpha + 1.0)
+    targets = np.log(alpha) - 0.5 * sigma2
     dtype = labels.dtype if jnp.issubdtype(labels.dtype, jnp.floating) else jnp.float32
-    return targets.astype(dtype), sigma2.astype(dtype), num_classes
+    return jnp.asarray(targets, dtype), jnp.asarray(sigma2, dtype), num_classes
