@@ -234,6 +234,7 @@ def main(
             plot_energy_potential_path=plot_curve_path,
             metric_to_optimise=pls_config["metric_to_optimise"],
             early_stopper_patience=pls_config["early_stopper_patience"],
+            fast_path=pls_config.get("fast_path", "auto"),
         )
         save_pls(
             pls_path,

@@ -308,17 +308,32 @@ def _sha256(path: str) -> str:
 
 
 def write_sklearn_bundled(out_dir: str) -> None:
-    """Materialise the REAL UCI data bundled inside scikit-learn (offline)."""
+    """Materialise the REAL UCI data bundled inside scikit-learn (offline).
+
+    Features are z-scored: WDBC's raw columns span 4 orders of magnitude
+    (smoothness ~0.1, area ~1000), which parks a unit-lengthscale ARD kernel
+    on a zero-gradient plateau (exp(-d^2) with d^2 ~ 1e6). The experiment
+    pipeline itself never rescales x (reference parity), so the extra real
+    datasets ship pre-standardised."""
     from sklearn.datasets import load_breast_cancer, load_diabetes
+
+    def zscore(df, target):
+        for c in df.columns:
+            if c != target:
+                df[c] = (df[c] - df[c].mean()) / df[c].std()
+        return df
 
     os.makedirs(out_dir, exist_ok=True)
     wdbc = load_breast_cancer(as_frame=True).frame  # real UCI WDBC (569 x 30)
     wdbc.columns = [c.replace(" ", "_") for c in wdbc.columns]
-    wdbc.to_csv(os.path.join(out_dir, "breast_wdbc.csv"), index=False)
+    zscore(wdbc, "target").to_csv(os.path.join(out_dir, "breast_wdbc.csv"), index=False)
     diab = load_diabetes(as_frame=True, scaled=False).frame  # real study (442 x 10)
-    diab.to_csv(os.path.join(out_dir, "diabetes_sklearn.csv"), index=False)
+    zscore(diab, "target").to_csv(
+        os.path.join(out_dir, "diabetes_sklearn.csv"), index=False
+    )
     print(f"wrote breast_wdbc.csv ({len(wdbc)} rows), diabetes_sklearn.csv "
-          f"({len(diab)} rows) to {out_dir} [REAL sklearn-bundled UCI data]")
+          f"({len(diab)} rows) to {out_dir} [REAL sklearn-bundled UCI data, "
+          "z-scored features]")
 
 
 def main() -> int:
