@@ -36,15 +36,24 @@ _TWO_PI = 6.283185307179586
 
 
 def _standard_normals(shape):
-    """Box-Muller over hardware random bits -> N(0, 1) samples of ``shape``."""
-    bits1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    bits2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    """Box-Muller over hardware random bits -> N(0, 1) samples of ``shape``.
+
+    Uses BOTH outputs of each Box-Muller pair (r cos theta AND r sin theta —
+    independent standard normals): half the random bits and half the
+    log/sqrt work per sample. The PRNG+transcendental cost is the per-step
+    floor of the fused spectral tier, so this matters."""
+    m, j = shape
+    half = (m + 1) // 2
+    bits1 = pltpu.bitcast(pltpu.prng_random_bits((half, j)), jnp.uint32)
+    bits2 = pltpu.bitcast(pltpu.prng_random_bits((half, j)), jnp.uint32)
     # uniform in [0, 1): set exponent to 1.0's, random mantissa -> [1, 2), then -1
     u1 = pltpu.bitcast((bits1 >> 9) | jnp.uint32(0x3F800000), jnp.float32) - 1.0
     u2 = pltpu.bitcast((bits2 >> 9) | jnp.uint32(0x3F800000), jnp.float32) - 1.0
     # log1p(-u1) = log(1 - u1) <= 0 exactly for u1 in [0, 1)
     r = jnp.sqrt(-2.0 * jnp.log1p(-u1))
-    return r * jnp.cos(_TWO_PI * u2)
+    theta = _TWO_PI * u2
+    z = jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)], axis=0)
+    return z[:m] if 2 * half != m else z
 
 
 def _spectral_train_kernel(
