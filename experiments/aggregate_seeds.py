@@ -1,0 +1,73 @@
+"""Aggregate per-seed experiment metric CSVs into mean +- std tables.
+
+The UCI mains write one CSV per metric x model x split per dataset per seed
+(``outputs/<seed>/results/<dataset>/<model>/<metric>_<split>.csv``, matching
+the reference's metrics layout). This collects every seed present and renders
+markdown tables of mean +- std over seeds — the reference protocol reports
+over 10 data seeds (``/root/reference/experiments/uci/regression/main.py:455-457``).
+
+Usage:
+    PYTHONPATH=. python experiments/aggregate_seeds.py \
+        experiments/uci/regression/outputs [--metrics nll mae ...] [--split test]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+from collections import defaultdict
+
+import numpy as np
+import pandas as pd
+
+
+def collect(outputs_path: str, split: str) -> pd.DataFrame:
+    """-> long dataframe (dataset, model, metric, seed, value)."""
+    rows = []
+    for path in glob.glob(
+        os.path.join(outputs_path, "*", "results", "*", "*", f"*_{split}.csv")
+    ):
+        parts = path.split(os.sep)
+        seed, dataset, model = parts[-5], parts[-3], parts[-2]
+        metric = os.path.basename(path)[: -len(f"_{split}.csv")]
+        try:
+            df = pd.read_csv(path)
+        except Exception:
+            continue
+        if "dataset" not in df.columns or df.shape[1] < 2:
+            continue
+        value = df.iloc[0, 1]
+        rows.append((dataset, model, metric, int(seed), float(value)))
+    return pd.DataFrame(rows, columns=["dataset", "model", "metric", "seed", "value"])
+
+
+def render(long: pd.DataFrame, metrics: list[str] | None = None) -> str:
+    out = []
+    if long.empty:
+        return "(no results found)\n"
+    n_seeds = long.groupby(["dataset", "model", "metric"])["seed"].nunique()
+    for metric in metrics or sorted(long["metric"].unique()):
+        sub = long[long["metric"] == metric]
+        if sub.empty:
+            continue
+        stats = sub.groupby(["dataset", "model"])["value"].agg(["mean", "std", "count"])
+        table = defaultdict(dict)
+        for (dataset, model), row in stats.iterrows():
+            std = 0.0 if np.isnan(row["std"]) else row["std"]
+            table[dataset][model] = f"{row['mean']:.4f} +- {std:.4f} ({int(row['count'])})"
+        df = pd.DataFrame(table).T.sort_index()
+        out.append(f"### {metric} (mean +- std over seeds, n in parens)\n")
+        out.append(df.to_markdown())
+        out.append("")
+    return "\n".join(out)
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("outputs_path")
+    parser.add_argument("--metrics", nargs="*", default=None)
+    parser.add_argument("--split", default="test")
+    args = parser.parse_args()
+    long = collect(args.outputs_path, args.split)
+    print(render(long, args.metrics))

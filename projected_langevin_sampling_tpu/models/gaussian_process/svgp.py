@@ -44,11 +44,20 @@ class SVGP:
         CholeskyVariationalDistribution, only the tril is the parameter."""
         return jnp.tril(self.variational_chol)
 
+    def _effective_jitter(self, dtype) -> float:
+        """gpytorch's psd_safe_cholesky floors: 1e-6 in fp32, 1e-8 in fp64.
+        The PLS r-kernel SQUARES the base kernel's spectrum, so K_zz routinely
+        has eigenvalues below fp32 resolution — an un-floored 1e-8 jitter
+        produces a garbage Cholesky and the whitened ELBO explodes within a
+        few steps (observed on every UCI regression dataset)."""
+        floor = 1e-6 if dtype == jnp.float32 else 1e-8
+        return max(self.jitter, floor)
+
     def _chol_kzz(self) -> Array:
         m = self.num_inducing
         k_zz = self.kernel(self.x_induce, self.x_induce)
         return jnp.linalg.cholesky(
-            k_zz + self.jitter * jnp.eye(m, dtype=k_zz.dtype)
+            k_zz + self._effective_jitter(k_zz.dtype) * jnp.eye(m, dtype=k_zz.dtype)
         )
 
     def latent(self, x: Array) -> MultivariateNormal:
@@ -132,7 +141,8 @@ def titsias_optimal_svgp(svgp: SVGP, x_train: Array, y_train: Array) -> SVGP:
     m = svgp.num_inducing
     k_zz = svgp.kernel(svgp.x_induce, svgp.x_induce)
     k_zx = svgp.kernel(svgp.x_induce, x_train)
-    a = k_zz + (k_zx @ k_zx.T) / sigma2 + svgp.jitter * jnp.eye(m, dtype=k_zz.dtype)
+    jit = svgp._effective_jitter(k_zz.dtype)
+    a = k_zz + (k_zx @ k_zx.T) / sigma2 + jit * jnp.eye(m, dtype=k_zz.dtype)
     chol_a = jnp.linalg.cholesky(a)
     resid = y_train - svgp.mean_constant
     sigma_kzx_y = jax.scipy.linalg.cho_solve((chol_a, True), k_zx @ resid) / sigma2
@@ -142,7 +152,7 @@ def titsias_optimal_svgp(svgp: SVGP, x_train: Array, y_train: Array) -> SVGP:
     # whiten: v = L^{-1} m_u, C = L^{-1} chol(S_u)
     chol_kzz = svgp._chol_kzz()
     v_mean = jax.scipy.linalg.solve_triangular(chol_kzz, m_u, lower=True)
-    s_u = 0.5 * (s_u + s_u.T) + svgp.jitter * jnp.eye(m, dtype=s_u.dtype)
+    s_u = 0.5 * (s_u + s_u.T) + jit * jnp.eye(m, dtype=s_u.dtype)
     chol_s = jnp.linalg.cholesky(s_u)
     c = jax.scipy.linalg.solve_triangular(chol_kzz, chol_s, lower=True)
     return svgp.replace(variational_mean=v_mean, variational_chol=c)

@@ -81,10 +81,13 @@ def fit_exact_gp(
     opt_state = optimizer.init(params)
 
     def step(params, opt_state):
+        # gpytorch's ExactMarginalLogLikelihood returns the PER-DATA-POINT
+        # MLL — match that loss scale (recorded losses + stopper comparisons)
         loss, grads = jax.value_and_grad(
             lambda p: -_exact_gp_from_params(
                 p, x, y, fixed_noise_variances
             ).log_marginal_likelihood()
+            / y.shape[0]
         )(params)
         updates, opt_state = optimizer.update(grads, opt_state)
         return loss, optax.apply_updates(params, updates), opt_state
@@ -230,8 +233,11 @@ def fit_svgp(
     patience = jnp.asarray(early_stopper_patience, dtype=x.dtype)
 
     def step(params, opt_state, x_batch, y_batch):
+        # gpytorch's VariationalELBO is PER-DATA-POINT; plain SGD at the
+        # reference's learning-rate grid is only stable at that scale (the
+        # summed ELBO's gradients are N times larger and diverge in epochs)
         loss, grads = jax.value_and_grad(
-            lambda p: -_svgp_from_params(p, svgp).elbo(x_batch, y_batch, n)
+            lambda p: -_svgp_from_params(p, svgp).elbo(x_batch, y_batch, n) / n
         )(params)
         grads = {k: (jnp.zeros_like(v) if k in frozen else v) for k, v in grads.items()}
         updates, opt_state = optimizer.update(grads, opt_state)
@@ -253,7 +259,7 @@ def fit_svgp(
             new_params, new_opt_state = jax.lax.fori_loop(
                 0, num_batches, batch_body, (params, opt_state)
             )
-            loss = -_svgp_from_params(new_params, svgp).elbo(x, y, n)
+            loss = -_svgp_from_params(new_params, svgp).elbo(x, y, n) / n
 
             # reference semantics (trainers.py:55-136): the epoch's updates are
             # adopted, THEN non-finite params abort, THEN the stopper may break

@@ -134,17 +134,25 @@ def test_fit_svgp_converges_to_titsias_elbo():
     svgp0 = init_svgp(0.0, _kernel(), GaussianLikelihood(noise=noise), z)
     optimal = titsias_optimal_svgp(svgp0, x, y)
     elbo_opt = float(optimal.elbo(x, y, x.shape[0]))
-    # SGD step size must respect the ELBO curvature ~ N/noise (the reference
-    # handles this with its log-spaced learning-rate search, runners.py:449-542)
+    # the trainer optimises the PER-DATA-POINT ELBO (gpytorch's loss scale),
+    # so the stable step size is ~N larger than for the summed objective; the
+    # reference handles the remaining curvature (~1/noise) with its
+    # log-spaced learning-rate search (runners.py:449-542)
     trained, losses = fit_svgp(
         svgp0, x, y, number_of_epochs=3000, batch_size=30,
-        learning_rate=5e-4, learn_kernel_parameters=False,
+        learning_rate=4e-2, learn_kernel_parameters=False,
         learn_observation_noise=False, key=0,
     )
     elbo_trained = float(trained.elbo(x, y, x.shape[0]))
     assert losses[-1] < losses[0]
     assert elbo_trained >= elbo_opt - 0.5  # near-optimal
-    assert elbo_trained <= elbo_opt + 1e-6  # never above the optimum
+    # the trainer ALSO optimises the mean constant, so compare against the
+    # Titsias optimum AT the trained mean — that one is unbeatable
+    optimal_at_mean = titsias_optimal_svgp(
+        svgp0.replace(mean_constant=trained.mean_constant), x, y
+    )
+    elbo_opt_at_mean = float(optimal_at_mean.elbo(x, y, x.shape[0]))
+    assert elbo_trained <= elbo_opt_at_mean + 1e-6  # never above the optimum
 
 
 def test_svgp_bernoulli_trains():
