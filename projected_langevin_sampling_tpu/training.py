@@ -153,9 +153,13 @@ def resolve_fast_path(basis, cost, fast_path: str, particles_bytes: int | None =
         basis, cost
     ):
         raise ValueError("spectral fast path requires OrthonormalBasis + GaussianCost(identity)")
-    if fast_path == "quadratic" and not quadratic_fast_path_available(basis, cost):
+    if fast_path in ("quadratic", "quadratic_fused") and not quadratic_fast_path_available(
+        basis, cost
+    ):
         raise ValueError("quadratic fast path requires GaussianCost(identity)")
-    assert fast_path in ("off", "quadratic", "spectral", "spectral_fused"), fast_path
+    assert fast_path in (
+        "off", "quadratic", "quadratic_fused", "spectral", "spectral_fused"
+    ), fast_path
     return fast_path
 
 
@@ -406,6 +410,28 @@ def _train_pls_scan(
         recorded, steps_run = _replay_early_stopper(energies, step_size, patience)
         return TrainResult(u_final.astype(dtype), energies, recorded, steps_run)
 
+    if tier == "quadratic_fused":
+        # whole-run quadratic kernel (TPU only, opt-in): the ONLY fused tier
+        # for IPB+Gaussian (non-symmetric drift, correlated noise)
+        from projected_langevin_sampling_tpu.models.basis.orthonormal import (
+            OrthonormalBasis,
+        )
+        from projected_langevin_sampling_tpu.ops.pallas.quadratic_train import (
+            quadratic_train_fused,
+        )
+
+        a_mat, b_vec, e_mat, e_bias, e_const, shared = _quadratic_system(basis, cost)
+        noise_factor = None if isinstance(basis, OrthonormalBasis) else basis.noise_factor
+        seed = jax.random.randint(key, (), 0, 2**31 - 1)
+        u_final, energies = quadratic_train_fused(
+            a_mat, b_vec, e_mat, e_bias, noise_factor, particles,
+            seed=seed, eta=step_size, patience=patience,
+            energy_const=e_const, num_steps=number_of_epochs, shared=shared,
+        )
+        energies = energies.astype(dtype)
+        recorded, steps_run = _replay_early_stopper(energies, step_size, patience)
+        return TrainResult(u_final.astype(dtype), energies, recorded, steps_run)
+
     if tier == "spectral":
         sigma, q_mat, b_rot, e_const = spectral()
         decay = 1.0 - step_size * sigma  # (M,)
@@ -619,6 +645,24 @@ def langevin_steps(
 
         final_w, _ = jax.lax.scan(spectral_body, q_mat.T @ particles, keys)
         return q_mat @ final_w
+
+    if tier == "quadratic_fused":
+        from projected_langevin_sampling_tpu.models.basis.orthonormal import (
+            OrthonormalBasis,
+        )
+        from projected_langevin_sampling_tpu.ops.pallas.quadratic_train import (
+            quadratic_train_fused,
+        )
+
+        a_mat, b_vec, e_mat, e_bias, e_const, shared = _quadratic_system(basis, cost)
+        noise_factor = None if isinstance(basis, OrthonormalBasis) else basis.noise_factor
+        seed = jax.random.randint(key, (), 0, 2**31 - 1)
+        u_final, _ = quadratic_train_fused(
+            a_mat, b_vec, e_mat, e_bias, noise_factor, particles,
+            seed=seed, eta=step_size, patience=jnp.inf,
+            energy_const=e_const, num_steps=n_steps, shared=shared,
+        )
+        return u_final.astype(dtype)
 
     if tier == "quadratic":
         a_mat, b_vec, _, _, _, _ = _quadratic_system(basis, cost)
