@@ -35,10 +35,13 @@ N, M, J = 5000, 512, 1000
 TPU_ROOF_TFLOPS = 124.0
 
 
-def build(dtype_name="float32", cost_name="gaussian"):
+def build(dtype_name="float32", cost_name="gaussian", basis_kind="onb"):
     import jax.numpy as jnp
 
-    from projected_langevin_sampling_tpu.models.basis import build_orthonormal_basis
+    from projected_langevin_sampling_tpu.models.basis import (
+        build_inducing_point_basis,
+        build_orthonormal_basis,
+    )
     from projected_langevin_sampling_tpu.models.costs import BernoulliCost, GaussianCost
     from projected_langevin_sampling_tpu.ops.kernels import ARDKernel, PLSKernel
 
@@ -55,8 +58,13 @@ def build(dtype_name="float32", cost_name="gaussian"):
         approximation_samples=x,
     )
     z = jnp.asarray(np.linspace(-3, 3, M)[:, None], dtype=dtype)
-    basis = build_orthonormal_basis(kernel, z, x, verbose=False)
-    assert basis.approximation_dimension == M, basis.approximation_dimension
+    if basis_kind == "onb":
+        basis = build_orthonormal_basis(kernel, z, x, verbose=False)
+        assert basis.approximation_dimension == M, basis.approximation_dimension
+    else:
+        basis = build_inducing_point_basis(
+            kernel, z, jnp.asarray(np.sin(2 * np.linspace(-3, 3, M)), dtype), x
+        )
     if cost_name == "gaussian":
         y = jnp.asarray(f_true + 0.2 * rng.normal(size=N), dtype=dtype)
         cost = GaussianCost(y_train=y, observation_noise=jnp.asarray(0.1, dtype=dtype))
@@ -75,12 +83,15 @@ def _flops_per_step(tier, m_k=M, n=N, j=J):
     carried across steps — training.py _step_carry_pred); the fused Pallas
     kernel (general_fused) runs the same contraction count = 4 N M_k J
     quadratic:   one (M_k,M_k)x(M_k,J) matmul per step      = 2 M_k^2 J
+                 (quadratic_fused on IPB runs 3: drift, energy, noise)
     spectral*:   elementwise only                           = ~0 (PRNG-bound)
     """
     if tier in ("off", "general_fused"):
         return 4.0 * n * m_k * j
     if tier == "quadratic":
         return 2.0 * m_k * m_k * j
+    if tier == "quadratic_fused":
+        return 6.0 * m_k * m_k * j  # IPB: drift + energy + correlated noise
     return 0.0
 
 
@@ -133,24 +144,27 @@ def run_table():
     on_tpu = jax.default_backend() != "cpu"
 
     cells = [
-        # (cost, tier, n_steps) — step counts sized so each rep runs seconds,
-        # amortising the ~35 ms tunnel dispatch latency
-        ("gaussian", "off", 2000),
-        ("gaussian", "quadratic", 10000),
-        ("gaussian", "spectral", 20000),
-        ("bernoulli", "off", 2000),
+        # (cost, basis, tier, n_steps) — step counts sized so each rep runs
+        # seconds, amortising the ~35 ms tunnel dispatch latency
+        ("gaussian", "onb", "off", 2000),
+        ("gaussian", "onb", "quadratic", 10000),
+        ("gaussian", "onb", "spectral", 20000),
+        ("gaussian", "ipb", "quadratic", 10000),
+        ("bernoulli", "onb", "off", 2000),
     ]
     if on_tpu:
-        cells.insert(3, ("gaussian", "spectral_fused", 20000))
-        cells.append(("bernoulli", "general_fused", 2000))
+        cells.insert(3, ("gaussian", "onb", "spectral_fused", 20000))
+        cells.insert(5, ("gaussian", "ipb", "quadratic_fused", 20000))
+        cells.append(("bernoulli", "onb", "general_fused", 2000))
 
     rows = []
-    for cost_name, tier, n_steps in cells:
-        basis, cost = build(cost_name=cost_name)
+    for cost_name, basis_kind, tier, n_steps in cells:
+        basis, cost = build(cost_name=cost_name, basis_kind=basis_kind)
         r = _time_tier(basis, cost, tier, n_steps)
         flops = _flops_per_step(tier)
         r.update(
             cost=cost_name,
+            basis=basis_kind,
             gflops_per_step=flops / 1e9,
             tflops_per_sec=flops * r["updates_per_sec"] / 1e12,
             mfu_vs_roof=(flops * r["updates_per_sec"] / 1e12) / TPU_ROOF_TFLOPS
@@ -159,7 +173,7 @@ def run_table():
         )
         rows.append(r)
         print(
-            f"  {cost_name:9s} {tier:14s} {r['ms_per_step']:8.4f} ms/step "
+            f"  {cost_name:9s} {basis_kind:3s} {tier:15s} {r['ms_per_step']:8.4f} ms/step "
             f"{r['updates_per_sec']:10.1f} ups "
             f"{r['tflops_per_sec']:6.2f} TF/s"
             + (f"  MFU={100 * r['mfu_vs_roof']:.1f}%" if r["mfu_vs_roof"] else ""),
