@@ -1,10 +1,12 @@
-"""Summarise experiment-output CSVs into RESULTS.md.
+"""Render RESULTS.md from the experiment outputs.
 
-Collects the aggregate metric tables written by the UCI mains
-(``concatenate_metrics``) plus the bench numbers, and renders one markdown
-report. Run after the experiment sweeps:
+Collects: the per-tier bench table (BENCH_TABLE.json), the multi-seed UCI
+regression/classification metric CSVs (mean +- std over data seeds — the
+reference protocol, uci/regression/main.py:455-457), the real-data rows
+(breast_wdbc / diabetes_sklearn), the profiler sweeps (CPU + TPU), and the
+curve-experiment outputs.
 
-    PYTHONPATH=. python experiments/make_results_summary.py
+Run after the sweeps:  PYTHONPATH=. python experiments/make_results_summary.py
 """
 
 from __future__ import annotations
@@ -14,161 +16,113 @@ import os
 
 import pandas as pd
 
+from experiments.aggregate_seeds import collect, render
+
 ROOT = os.path.dirname(os.path.dirname(os.path.realpath(__file__)))
 
 
-def _table(path: str) -> str | None:
-    if not os.path.exists(path):
-        return None
-    df = pd.read_csv(path, index_col="dataset")
-    return df.round(4).to_markdown()
-
-
-def main() -> None:
-    sections = []
-    sections.append(
-        "# RESULTS — round-1 experiment runs\n\n"
-        "Metrics from end-to-end runs of the experiment harness. UCI inputs are\n"
-        "the SYNTHETIC schema-compatible stand-ins (the reference repo ships no\n"
-        "UCI CSVs either — see experiments/uci/datasets/README.md), so the\n"
-        "numbers demonstrate pipeline correctness and model behaviour, not\n"
-        "published-benchmark comparisons. All runs: float64, CPU backend,\n"
-        "medium config (simulation_duration 0.1, <=1e5 Langevin steps,\n"
-        "3-point step-size search, J=100 particles), data seed 0.\n\n"
-        "Reading guide: tempering/conformalisation should (and do) cut the\n"
-        "raw NLLs by ~5-20x; conformal coverage should sit near its 0.95\n"
-        "target. UCI classification uses a longer config (simulation_duration\n"
-        "1.0); the synthetic stand-ins remain hard (high-dimensional\n"
-        "correlated inputs, weak latent, ~320 train points), so treat the\n"
-        "absolute numbers as pipeline evidence, not benchmark claims.\n\n"
-        "The full curve-regression pipeline (kernel learning, greedy selection,\n"
-        "PLS step-size search, conformal calibration, SVGP baseline) also ran\n"
-        "END-TO-END ON THE REAL TPU v5e chip in float32 (PLST_X64=0).\n"
-    )
-
+def bench_section() -> str:
+    out = ["## Throughput benchmarks (real TPU v5e chip, fp32)\n"]
     try:
         with open(os.path.join(ROOT, "BENCH_BASELINE.json")) as f:
             base = json.load(f)
-        sections.append(
-            "## Throughput headline (real TPU v5e, see bench.py)\n\n"
-            "| metric | value |\n|---|---|\n"
-            "| This framework (fused Pallas tier, J=1000, M=512, N=5000) | 46,103 updates/s |\n"
-            f"| Reference op sequence (float64 torch, this host's CPU) | {base['updates_per_sec']:.2f} updates/s |\n"
-            "| Speedup | ~36,000x |\n"
+        out.append(
+            f"Reference op sequence (fp64 torch, 1-core CPU): "
+            f"**{base['updates_per_sec']:.2f} updates/s** at J=1000, M=512, N=5000.\n"
         )
     except OSError:
         pass
-
-    curves_models = os.path.join(
-        ROOT, "experiments", "curves", "regression", "outputs", "models"
-    )
-    if os.path.isdir(curves_models):
-        import pickle
-
-        rows = []
-        for name in sorted(os.listdir(curves_models)):
-            ckpt = os.path.join(curves_models, name, "pls-onb.pkl")
-            if not os.path.exists(ckpt):
-                continue
-            with open(ckpt, "rb") as f:
-                ck = pickle.load(f)
+    try:
+        with open(os.path.join(ROOT, "BENCH_TABLE.json")) as f:
+            table = json.load(f)
+        rows = ["| cost | basis | tier | ms/step | updates/s | MFU |", "|---|---|---|---|---|---|"]
+        for r in table["rows"]:
+            mfu = f"{100 * r['mfu_vs_roof']:.0f}%" if r.get("mfu_vs_roof") else "—"
             rows.append(
-                f"| {name} | {ck['best_lr']:.1e} | {ck['number_of_epochs']} | "
-                f"{ck['observation_noise']:.4f} |"
+                f"| {r['cost']} | {r.get('basis', 'onb')} | {r['tier']} | "
+                f"{r['ms_per_step']:.4f} | {r['updates_per_sec']:,.0f} | {mfu} |"
             )
-        if rows:
-            sections.append(
-                "## Curve regression (FULL reference config, sigma_true=0.2 "
-                "=> true noise variance 0.04)\n\n"
-                "| curve | selected step size | epochs | learned obs. noise |\n"
-                "|---|---|---|---|\n" + "\n".join(rows) + "\n\n"
-                "The step-size search + tempering recover the true noise "
-                "variance to ~10% where the search converges.\n"
-            )
+        out.append("\n".join(rows))
+        out.append(
+            f"\nMFU against the measured {table['config']['roof_tflops']:.0f} TF/s "
+            "default-precision matmul roof; spectral tiers are elementwise "
+            "(PRNG-bound), so MFU is not meaningful there.\n"
+        )
+    except OSError:
+        out.append("(BENCH_TABLE.json missing — run `python bench.py --table`)\n")
+    return "\n".join(out)
 
-    cls_curves = os.path.join(
-        ROOT, "experiments", "curves", "classification", "outputs", "results"
-    )
-    if os.path.isdir(cls_curves):
-        rows = []
-        for curve in sorted(os.listdir(cls_curves)):
-            for model in sorted(os.listdir(os.path.join(cls_curves, curve))):
-                cells = [curve, model]
-                ok = True
-                for metric in ["acc_train", "auc_train", "acc_test"]:
-                    p = os.path.join(cls_curves, curve, model, f"{metric}.csv")
-                    if not os.path.exists(p):
-                        ok = False
-                        break
-                    cells.append(f"{float(pd.read_csv(p).iloc[0, 1]):.3f}")
-                if ok:
-                    rows.append("| " + " | ".join(cells) + " |")
-        if rows:
-            sections.append(
-                "## Curve classification (FULL reference config)\n\n"
-                "| curve | model | train acc | train AUC | test acc |\n"
-                "|---|---|---|---|---|\n" + "\n".join(rows) + "\n\n"
-                "Train metrics show proper learning (AUC ~0.85); the test split\n"
-                "is the interval/EDGE-EXTRAPOLATION split (preprocess.py), where\n"
-                "GP-based classifiers revert to the prior p~0.5 by design.\n"
-            )
 
-    reg = os.path.join(ROOT, "experiments", "uci", "regression", "outputs", "0", "results")
-    for metric, title in [
-        ("nll_test", "UCI regression — test NLL (12 model variants)"),
-        ("mse_test", "UCI regression — test MSE"),
-        ("coverage_test", "UCI regression — conformal test coverage (target 0.95)"),
-        ("average_interval_width_test", "UCI regression — conformal interval width"),
-    ]:
-        t = _table(os.path.join(reg, f"{metric}.csv"))
-        if t:
-            sections.append(f"## {title}\n\n{t}\n")
+def uci_section(name: str, outputs: str, metrics: list[str], note: str) -> str:
+    out = [f"## {name}\n", note + "\n"]
+    for split in ("train", "test"):
+        long = collect(os.path.join(ROOT, outputs), split)
+        if long.empty:
+            out.append(f"({split}: no results yet)\n")
+            continue
+        out.append(f"### {split} split\n")
+        out.append(render(long, metrics))
+    return "\n".join(out)
 
-    cls = os.path.join(ROOT, "experiments", "uci", "classification", "outputs", "0", "results")
-    for metric, title in [
-        ("acc_test", "UCI classification — test accuracy"),
-        ("auc_test", "UCI classification — test AUC"),
-        ("f1_test", "UCI classification — test F1"),
-        ("nll_test", "UCI classification — test NLL"),
-    ]:
-        t = _table(os.path.join(cls, f"{metric}.csv"))
-        if t:
-            sections.append(f"## {title}\n\n{t}\n")
 
-    prof = os.path.join(ROOT, "experiments", "profiler", "outputs")
-    if os.path.isdir(prof):
-        rows = []
-        for axis in [
-            "number_of_data_points",
-            "number_of_induce_points",
-            "number_of_epochs",
-            "number_of_particles",
-        ]:
-            path = os.path.join(prof, f"{axis}.csv")
-            if not os.path.exists(path):
+def profiler_section() -> str:
+    out = ["## Profiler protocol (reference N/M/T/J sweep shape, 10 seeds)\n"]
+    for label, sub in [("CPU backend", "outputs"), ("TPU v5e", "outputs_tpu")]:
+        base = os.path.join(ROOT, "experiments", "profiler", sub)
+        if not os.path.isdir(base):
+            continue
+        out.append(f"### {label}\n")
+        rows = ["| axis | model | first → last (mean ms over seeds) |", "|---|---|---|"]
+        for axis in sorted(os.listdir(base)):
+            if not axis.endswith(".csv"):
                 continue
-            df = pd.read_csv(path)
-            for model, g in df.groupby("model"):
-                stats = g.groupby("value")["wall_time_milliseconds"].mean()
+            df = pd.read_csv(os.path.join(base, axis))
+            g = df.groupby(["model", "value"])["wall_time_milliseconds"].mean()
+            for model in df["model"].unique():
+                sel = g.loc[model]
                 rows.append(
-                    f"| {axis} | {model} | {stats.iloc[0]:.1f} | {stats.iloc[-1]:.1f} |"
+                    f"| {axis[:-4]} | {model} | {sel.iloc[0]:.1f} → {sel.iloc[-1]:.1f} |"
                 )
-        if rows:
-            sections.append(
-                "## Profiler protocol (reference profiler sweep shape, CPU "
-                "backend, 3 seeds, means)\n\n"
-                "| sweep axis | model | ms @ min | ms @ max |\n|---|---|---|---|\n"
-                + "\n".join(rows)
-                + "\n\nPLS training wall-time is ~1000x below the SVGP trainer "
-                "at the same sweep points: the whole Langevin run is one "
-                "compiled scan (and the Gaussian case takes the spectral "
-                "fast path), while SVGP pays an eager optimiser loop.\n"
-            )
+        out.append("\n".join(rows) + "\n")
+    return "\n".join(out)
 
-    out = os.path.join(ROOT, "RESULTS.md")
-    with open(out, "w") as f:
+
+def main() -> None:
+    sections = [
+        "# RESULTS — round-2 experiment runs\n",
+        "End-to-end runs of the experiment harness at the reference's LONG\n"
+        "config (simulation_duration 0.5, <=1e7 Langevin steps, 5-point\n"
+        "step-size search, J=100 particles), over the reference's 10-data-seed\n"
+        "protocol, on the real TPU v5e chip in float32 (fp64 numerics-critical\n"
+        "factorisations on host). The 6+8 UCI datasets are SYNTHETIC\n"
+        "schema-compatible stand-ins (no network egress here; the reference\n"
+        "ships no CSVs either — `fetch_datasets.py` downloads the real ones\n"
+        "when egress exists). Two REAL datasets ship offline via\n"
+        "scikit-learn: breast_wdbc (UCI Breast Cancer Wisconsin Diagnostic)\n"
+        "and diabetes_sklearn (the diabetes progression study).\n",
+        bench_section(),
+        uci_section(
+            "UCI regression (6 synthetic stand-ins + diabetes_sklearn REAL data)",
+            "experiments/uci/regression/outputs",
+            ["nll", "mse", "mae"],
+            "12 model variants: PLS-ONB / PLS-Student-ONB / SVGP / SVGP-Student,\n"
+            "each raw + tempered + conformalised. `diabetes_sklearn` rows are\n"
+            "REAL data.",
+        ),
+        uci_section(
+            "UCI classification (8 synthetic stand-ins + breast_wdbc REAL data)",
+            "experiments/uci/classification/outputs",
+            ["nll", "acc", "auc", "f1"],
+            "PLS-ONB (Bernoulli-sigmoid) vs SVGP, kernels learned on\n"
+            "Dirichlet-transformed targets (the round-2 fix — see\n"
+            "tests/test_dirichlet.py). `breast_wdbc` rows are REAL data.",
+        ),
+        profiler_section(),
+    ]
+    path = os.path.join(ROOT, "RESULTS.md")
+    with open(path, "w") as f:
         f.write("\n".join(sections))
-    print(f"wrote {out} ({len(sections)} sections)")
+    print(f"wrote {path}")
 
 
 if __name__ == "__main__":
