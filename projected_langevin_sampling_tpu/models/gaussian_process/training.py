@@ -16,6 +16,8 @@ configs.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -49,6 +51,63 @@ def _exact_gp_from_params(params, x, y, fixed_noise_variances=None) -> ExactGP:
     )
 
 
+@functools.partial(jax.jit, static_argnames=("number_of_epochs",))
+def _run_exact_gp(params, x, y, fixed_noise_variances, learning_rate, patience,
+                  number_of_epochs: int):
+    """Module-level jitted worker: defining the jit INSIDE fit_exact_gp would
+    recompile on every call (each closure is a fresh cache key) — with the
+    tunneled TPU's 1-3 s compiles that dominated the whole harness."""
+    optimizer = optax.adam(learning_rate)
+    opt_state = optimizer.init(params)
+
+    def step(params, opt_state):
+        # gpytorch's ExactMarginalLogLikelihood returns the PER-DATA-POINT
+        # MLL — match that loss scale (recorded losses + stopper comparisons)
+        loss, grads = jax.value_and_grad(
+            lambda p: -_exact_gp_from_params(
+                p, x, y, fixed_noise_variances
+            ).log_marginal_likelihood()
+            / y.shape[0]
+        )(params)
+        updates, opt_state = optimizer.update(grads, opt_state)
+        return loss, optax.apply_updates(params, updates), opt_state
+
+    def body(carry, _):
+        params, opt_state, min_loss, sim_time, stopped = carry
+        loss, new_params, new_opt_state = step(params, opt_state)
+        finite = jnp.isfinite(loss)
+        improved = loss < min_loss
+        sim_time_new = jnp.where(improved, 0.0, sim_time + learning_rate)
+        stop_now = (~finite) | ((~improved) & (sim_time_new >= patience))
+        adopt = (~stopped) & (~stop_now)  # the stopping update is discarded
+        params = jax.tree.map(
+            lambda old, new: jnp.where(adopt, new, old), params, new_params
+        )
+        opt_state = jax.tree.map(
+            lambda old, new: jnp.where(adopt, new, old), opt_state, new_opt_state
+        )
+        min_loss = jnp.where(adopt & improved, loss, min_loss)
+        sim_time = jnp.where(stopped, sim_time, sim_time_new)
+        recorded = adopt
+        return (params, opt_state, min_loss, sim_time, stopped | stop_now), (
+            loss,
+            recorded,
+        )
+
+    dtype = x.dtype
+    init = (
+        params,
+        opt_state,
+        jnp.asarray(jnp.inf, dtype=dtype),
+        jnp.asarray(0.0, dtype=dtype),
+        jnp.asarray(False),
+    )
+    (params, opt_state, _, _, _), (losses, recorded) = jax.lax.scan(
+        body, init, None, length=number_of_epochs
+    )
+    return params, losses, recorded
+
+
 def fit_exact_gp(
     x: Array,
     y: Array,
@@ -77,60 +136,11 @@ def fit_exact_gp(
         "log_outputscale": jnp.log(jnp.asarray(kernel.outputscale, dtype=dtype)),
         "log_noise": jnp.log(jnp.asarray(noise, dtype=dtype)),
     }
-    optimizer = optax.adam(learning_rate)
-    opt_state = optimizer.init(params)
-
-    def step(params, opt_state):
-        # gpytorch's ExactMarginalLogLikelihood returns the PER-DATA-POINT
-        # MLL — match that loss scale (recorded losses + stopper comparisons)
-        loss, grads = jax.value_and_grad(
-            lambda p: -_exact_gp_from_params(
-                p, x, y, fixed_noise_variances
-            ).log_marginal_likelihood()
-            / y.shape[0]
-        )(params)
-        updates, opt_state = optimizer.update(grads, opt_state)
-        return loss, optax.apply_updates(params, updates), opt_state
-
-    @jax.jit
-    def run(params, opt_state):
-        def body(carry, _):
-            params, opt_state, min_loss, sim_time, stopped = carry
-            loss, new_params, new_opt_state = step(params, opt_state)
-            finite = jnp.isfinite(loss)
-            improved = loss < min_loss
-            sim_time_new = jnp.where(improved, 0.0, sim_time + learning_rate)
-            stop_now = (~finite) | ((~improved) & (sim_time_new >= patience))
-            adopt = (~stopped) & (~stop_now)  # the stopping update is discarded
-            params = jax.tree.map(
-                lambda old, new: jnp.where(adopt, new, old), params, new_params
-            )
-            opt_state = jax.tree.map(
-                lambda old, new: jnp.where(adopt, new, old), opt_state, new_opt_state
-            )
-            min_loss = jnp.where(adopt & improved, loss, min_loss)
-            sim_time = jnp.where(stopped, sim_time, sim_time_new)
-            recorded = adopt
-            return (params, opt_state, min_loss, sim_time, stopped | stop_now), (
-                loss,
-                recorded,
-            )
-
-        dtype = x.dtype
-        init = (
-            params,
-            opt_state,
-            jnp.asarray(jnp.inf, dtype=dtype),
-            jnp.asarray(0.0, dtype=dtype),
-            jnp.asarray(False),
-        )
-        (params, opt_state, _, _, _), (losses, recorded) = jax.lax.scan(
-            body, init, None, length=number_of_epochs
-        )
-        return params, losses, recorded
-
     patience = jnp.asarray(early_stopper_patience, dtype=x.dtype)
-    params, loss_trace, recorded = run(params, opt_state)
+    lr = jnp.asarray(learning_rate, dtype=x.dtype)
+    params, loss_trace, recorded = _run_exact_gp(
+        params, x, y, fixed_noise_variances, lr, patience, int(number_of_epochs)
+    )
     losses = [
         float(l) for l, r in zip(loss_trace.tolist(), recorded.tolist()) if r
     ]
@@ -227,10 +237,35 @@ def fit_svgp(
     if not learn_observation_noise and "log_noise" in params:
         frozen |= {"log_noise"}
 
-    optimizer = optax.sgd(learning_rate)
-    opt_state = optimizer.init(params)
     num_batches = max(n // batch_size, 1)
     patience = jnp.asarray(early_stopper_patience, dtype=x.dtype)
+    lr = jnp.asarray(learning_rate, dtype=x.dtype)
+    params, loss_trace, recorded, bad = _run_svgp(
+        params, svgp, x, y, key, lr, patience,
+        number_of_epochs=int(number_of_epochs),
+        batch_size=int(batch_size),
+        num_batches=int(num_batches),
+        frozen=tuple(sorted(frozen)),
+    )
+    if bool(bad):
+        return None, None
+    losses = [
+        float(l) for l, r in zip(loss_trace.tolist(), recorded.tolist()) if r
+    ]
+    return _svgp_from_params(params, svgp), losses
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("number_of_epochs", "batch_size", "num_batches", "frozen"),
+)
+def _run_svgp(params, svgp, x, y, key, learning_rate, patience,
+              number_of_epochs: int, batch_size: int, num_batches: int,
+              frozen: tuple):
+    """Module-level jitted worker (see _run_exact_gp for why)."""
+    n = x.shape[0]
+    optimizer = optax.sgd(learning_rate)
+    opt_state = optimizer.init(params)
 
     def step(params, opt_state, x_batch, y_batch):
         # gpytorch's VariationalELBO is PER-DATA-POINT; plain SGD at the
@@ -243,7 +278,6 @@ def fit_svgp(
         updates, opt_state = optimizer.update(grads, opt_state)
         return loss, optax.apply_updates(params, updates), opt_state
 
-    @jax.jit
     def run(params, opt_state, key):
         def epoch_body(carry, _):
             params, opt_state, key, min_loss, sim_time, stopped, bad = carry
@@ -307,10 +341,4 @@ def fit_svgp(
         )
         return params, losses, recorded, bad
 
-    params, loss_trace, recorded, bad = run(params, opt_state, key)
-    if bool(bad):
-        return None, None
-    losses = [
-        float(l) for l, r in zip(loss_trace.tolist(), recorded.tolist()) if r
-    ]
-    return _svgp_from_params(params, svgp), losses
+    return run(params, opt_state, key)
