@@ -206,6 +206,7 @@ def main(
         kernel=pls_kernel,
         x_induce=inducing_points.x,
         x_train=experiment_data.train.x,
+        scaling=pls_config.get("onb_scaling", "reference"),
     )
     gaussian_cost = GaussianCost(
         observation_noise=likelihood.noise,
@@ -220,6 +221,7 @@ def main(
         kernel=pls_kernel,
         x_induce=inducing_points.x,
         x_train=experiment_data.train.x,
+        scaling=pls_config.get("onb_scaling", "reference"),
         additional_predictive_noise_distribution=StudentTPredictiveNoise(
             df=degrees_of_freedom, loc=0.0, scale=float(likelihood.noise)
         ),

@@ -40,6 +40,18 @@ class OrthonormalBasis(PLSBasisMixin):
     additional_predictive_noise_distribution: object | None = flax.struct.field(
         pytree_node=False, default=None
     )
+    # eigenvector scaling mode (static):
+    #   "reference" — Vt = V / sqrt(M_k * lambda), the reference's formula
+    #     (``orthonormal.py:62-68``). Implied function-space prior variance is
+    #     r(x,x) = (1/M) k(x,Z) k(Z,x), which can UNDERESTIMATE k(x,x) badly
+    #     for smooth kernels (see DESIGN.md "ONB prior scaling").
+    #   "nystrom" — Vt = V / (sqrt(M) * lambda), the consistent empirical-KKL
+    #     scaling: Vt Lambda Vt^T == Kzz^{-1} (truncated), so the implied prior
+    #     is the Nystrom approximation Qff = k(x,Z) Kzz^{-1} k(Z,x) ~= k(x,x)
+    #     and the stationary posterior mean equals the Titsias-optimal SVGP
+    #     mean for Gaussian likelihoods. Opt-in extension (not reference
+    #     behaviour).
+    scaling: str = flax.struct.field(pytree_node=False, default="reference")
 
     @property
     def approximation_dimension(self) -> int:
@@ -52,9 +64,12 @@ class OrthonormalBasis(PLSBasisMixin):
 
     @property
     def eigenvectors(self) -> Array:
-        """Unscaled eigenvectors V = Vt * sqrt(M_k * lambda) (the reference
-        stores these separately, ``orthonormal.py:46-60``; used e.g. by the
-        mixture experiment's custom particle init)."""
+        """Unscaled eigenvectors V (the reference stores these separately,
+        ``orthonormal.py:46-60``; used e.g. by the mixture experiment's custom
+        particle init). Inverts whichever scaling built Vt."""
+        if self.scaling == "nystrom":
+            scale = jnp.sqrt(jnp.asarray(self.x_induce.shape[0], self.dtype))
+            return self.scaled_eigenvectors * (scale * self.eigenvalues)[None, :]
         scale = jnp.sqrt(self.approximation_dimension * self.eigenvalues)
         return self.scaled_eigenvectors * scale[None, :]
 
@@ -118,9 +133,17 @@ class OrthonormalBasis(PLSBasisMixin):
         """Joint MVN draw over [basis coefficients; test function values]
         with the Z-union-x augmentation (reference ``orthonormal.py:161-214``)."""
         key = as_key(key)
-        # r(x, x) with augmented approximation samples for OOD fidelity
-        aug = x if augmentation_samples is None else augmentation_samples
-        gram_x = self.kernel.forward(x1=x, x2=x, additional_approximation_samples=aug)
+        if self.scaling == "nystrom":
+            # the consistent prior: marginal var of the Matheron prediction is
+            # exactly k(x,x) (Vt Lambda Vt^T == Kzz^{-1} makes the correction
+            # terms cancel), so the bottom-right block is the exact base gram
+            gram_x = ard_gram(self.kernel.base_kernel, x, x)
+        else:
+            # r(x, x) with augmented approximation samples for OOD fidelity
+            aug = x if augmentation_samples is None else augmentation_samples
+            gram_x = self.kernel.forward(
+                x1=x, x2=x, additional_approximation_samples=aug
+            )
         base_gram_x_induce = ard_gram(self.kernel.base_kernel, x, self.x_induce)
         off_diagonal_block = (
             base_gram_x_induce @ self.scaled_eigenvectors * self.eigenvalues[None, :]
@@ -170,11 +193,17 @@ def build_orthonormal_basis(
     eigenvalue_threshold: float = 0.0,
     additional_predictive_noise_distribution: object | None = None,
     verbose: bool = True,
+    scaling: str = "reference",
 ) -> OrthonormalBasis:
     """Host-side constructor — the O(M^3) step (reference ``orthonormal.py:22-68``).
 
     The eigh and data-dependent eigenvalue thresholding happen eagerly here so
     that M_k is a static shape for everything downstream.
+
+    ``scaling``: "reference" reproduces the reference's eigenvector scaling
+    V/sqrt(M_k*lambda); "nystrom" is the consistent empirical-KKL scaling
+    V/(sqrt(M)*lambda) whose implied function-space prior is the Nystrom
+    approximation of k — see the OrthonormalBasis field docs and DESIGN.md.
     """
     import numpy as np
 
@@ -201,7 +230,13 @@ def build_orthonormal_basis(
         print(f"Number of eigenvalues kept: {eigenvalues.shape[0]} out of {m}")
 
     m_k = eigenvalues.shape[0]
-    scaled_eigenvectors = eigenvectors / np.sqrt(m_k * eigenvalues)[None, :]  # (M, M_k)
+    if scaling == "nystrom":
+        # Vt Lambda Vt^T == (truncated) Kzz^{-1}: prior var == Qff ~= k(x,x)
+        scaled_eigenvectors = eigenvectors / (np.sqrt(m) * eigenvalues)[None, :]
+    elif scaling == "reference":
+        scaled_eigenvectors = eigenvectors / np.sqrt(m_k * eigenvalues)[None, :]
+    else:
+        raise ValueError(f"Unknown ONB scaling {scaling!r}")
     scaled_eigenvectors = jnp.asarray(scaled_eigenvectors, dtype=base_gram_induce.dtype)
     eigenvalues = jnp.asarray(eigenvalues, dtype=base_gram_induce.dtype)
     train_projection = base_gram_induce_train.T @ scaled_eigenvectors  # (N, M_k)
@@ -214,4 +249,5 @@ def build_orthonormal_basis(
         base_gram_induce_train=base_gram_induce_train,
         train_projection=train_projection,
         additional_predictive_noise_distribution=additional_predictive_noise_distribution,
+        scaling=scaling,
     )
