@@ -145,6 +145,7 @@ def main(
         kernel=pls_kernel,
         x_induce=inducing_points.x,
         x_train=experiment_data.train.x,
+        scaling=pls_config.get("onb_scaling", "reference"),
     )
     plot_eigenvalues(
         onb_basis, title="Eigenvalues",

@@ -111,6 +111,7 @@ def main(
         kernel=pls_kernel,
         x_induce=inducing_points.x,
         x_train=experiment_data.train.x,
+        scaling=pls_config.get("onb_scaling", "reference"),
     )
     ipb_basis = build_inducing_point_basis(
         kernel=pls_kernel,
