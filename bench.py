@@ -191,6 +191,60 @@ def run_table():
     return out
 
 
+def run_predict(n_star=4096, chunk=256, reps=3):
+    """Serving-path throughput: exact joint predictive draw vs chunked
+    serving (``PLS.predict_samples(chunk_size=...)``, O(N*/c (M+c)^3) with
+    exact marginals). Reference predict cost is one eigh of an
+    (M_k + N*)^2 joint covariance (``orthonormal.py:161-214``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from projected_langevin_sampling_tpu.models.pls import PLS
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    basis, cost = build()
+    pls = PLS(basis=basis, cost=cost)
+    particles = pls.initialise_particles(J, key=0)
+    rng = np.random.default_rng(7)
+    x_star = jnp.asarray(
+        np.sort(rng.uniform(-3.2, 3.2, (n_star, 1)), axis=0), dtype=jnp.float32
+    )
+
+    rows = []
+    for mode, kwargs in (
+        ("joint", {}),
+        (f"chunked[{chunk}]", {"chunk_size": chunk}),
+    ):
+        def run():
+            s = pls.predict_samples(x=x_star, particles=particles, key=1, **kwargs)
+            jax.block_until_ready(s)
+
+        run()  # compile
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run()
+            times.append(time.perf_counter() - t0)
+        best = min(times)
+        rows.append(
+            {
+                "mode": mode,
+                "n_star": n_star,
+                "sec": best,
+                "points_per_sec": n_star / best,
+                "sample_draws_per_sec": n_star * J / best,
+            }
+        )
+        print(
+            f"  predict {mode:14s} N*={n_star} J={J}: {best:.3f}s "
+            f"({n_star / best:,.0f} points/s, {n_star * J / best:,.0f} draws/s)",
+            file=sys.stderr,
+        )
+    print(json.dumps({"predict": rows}))
+    return rows
+
+
 def main():
     import jax
 
@@ -235,8 +289,13 @@ def main():
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--table", action="store_true", help="per-tier/cost table")
+    parser.add_argument(
+        "--predict", action="store_true", help="serving-path predict throughput"
+    )
     args = parser.parse_args()
     if args.table:
         run_table()
+    elif args.predict:
+        run_predict()
     else:
         main()
