@@ -283,7 +283,17 @@ def train_pls_runner(
                 f"for {particle_name} ({step_size=})"
             ),
         )
-        if energy_potentials and bool(jnp.isfinite(particles_i).all()):
+        # The reference keeps any candidate with finite particles
+        # (``runners.py:373``) — in float64 a diverged trajectory overflows to
+        # inf within a few steps, so isfinite alone catches it. An
+        # edge-of-stability step size, however, grows slowly enough to stay
+        # finite-but-astronomical for the whole run; require the energy to
+        # have NOT increased from its initial value as well (same intent,
+        # robust to slow divergence — e.g. curves 1/10 at the stock config).
+        diverged = bool(energy_potentials) and not (
+            energy_potentials[-1] <= energy_potentials[0]
+        )
+        if energy_potentials and not diverged and bool(jnp.isfinite(particles_i).all()):
             energy_potentials_history[float(step_size)] = energy_potentials
             prediction = pls.predict(
                 x=experiment_data.train.x, particles=particles_i, key=0
