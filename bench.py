@@ -150,11 +150,13 @@ def run_table():
         ("gaussian", "onb", "quadratic", 10000),
         ("gaussian", "onb", "spectral", 20000),
         ("gaussian", "ipb", "quadratic", 10000),
+        ("gaussian", "ipb", "spectral", 20000),
         ("bernoulli", "onb", "off", 2000),
     ]
     if on_tpu:
         cells.insert(3, ("gaussian", "onb", "spectral_fused", 20000))
         cells.insert(5, ("gaussian", "ipb", "quadratic_fused", 20000))
+        cells.insert(7, ("gaussian", "ipb", "spectral_fused", 20000))
         cells.append(("bernoulli", "onb", "general_fused", 2000))
 
     rows = []

@@ -62,14 +62,29 @@ def quadratic_fast_path_available(basis, cost) -> bool:
 
 
 def spectral_fast_path_available(basis, cost) -> bool:
-    """The spectral tier additionally requires the ONB basis (symmetric drift
-    matrix + iid update noise, so the OU process diagonalises exactly)."""
+    """The spectral tier additionally requires a basis whose OU process
+    diagonalises exactly.
+
+    ONB: the drift matrix is symmetric and the update noise iid — direct.
+
+    IPB: the drift A = P·Kzz⁻¹ (P = KzxKxz/σ² + M·I, symmetric PSD) is
+    non-symmetric and the noise is N(0, Kzz) — but the process is exactly a
+    PRECONDITIONED Langevin (preconditioner Kzz): the change of variables
+    W = S⁻¹U for any factor S with SSᵀ = Kzz gives drift S⁻¹AS = S⁻¹PS⁻ᵀ
+    (symmetric PSD), iid noise, and an energy matrix that transforms to the
+    SAME matrix (E = Kzz⁻¹PKzz⁻¹ ⇒ SᵀES = S⁻¹PS⁻ᵀ) with e_bias mapping to
+    b_w. So in W space IPB+Gaussian is the ONB shared case and the
+    elementwise spectral recurrence applies verbatim. S is the eigh PSD
+    sqrt — the exact factor the basis's update noise already uses."""
+    from projected_langevin_sampling_tpu.models.basis.inducing_point import (
+        InducingPointBasis,
+    )
     from projected_langevin_sampling_tpu.models.basis.orthonormal import (
         OrthonormalBasis,
     )
 
     return quadratic_fast_path_available(basis, cost) and isinstance(
-        basis, OrthonormalBasis
+        basis, (OrthonormalBasis, InducingPointBasis)
     )
 
 
@@ -117,7 +132,8 @@ def resolve_fast_path(basis, cost, fast_path: str, particles_bytes: int | None =
       "off"       — general N-space path, any cost.
       "quadratic" — collapsed M-space normal equations. Identical TRAJECTORY
                     to "off" given the same keys (fp reassociation only).
-      "spectral"  — ONB+Gaussian only: diagonalise A = Q S Q^T once and evolve
+      "spectral"  — ONB or IPB + Gaussian: diagonalise the (symmetrised) OU
+                    drift once and evolve
                     W = Q^T U with a purely ELEMENTWISE recurrence — zero
                     matmuls per step. Identical LAW (the iid Gaussian noise is
                     rotation-invariant), but not the same sample path for a
@@ -152,7 +168,9 @@ def resolve_fast_path(basis, cost, fast_path: str, particles_bytes: int | None =
     if fast_path in ("spectral", "spectral_fused") and not spectral_fast_path_available(
         basis, cost
     ):
-        raise ValueError("spectral fast path requires OrthonormalBasis + GaussianCost(identity)")
+        raise ValueError(
+            "spectral fast path requires an ONB or IPB basis + GaussianCost(identity)"
+        )
     if fast_path in ("quadratic", "quadratic_fused") and not quadratic_fast_path_available(
         basis, cost
     ):
@@ -200,30 +218,68 @@ def _quadratic_system(basis, cost):
     return a, b, energy_matrix, energy_bias, energy_const, shared
 
 
+class SpectralSystem(NamedTuple):
+    """Diagonalised OU system. V = q_in^T U enters rotated coordinates,
+    U = q_out V leaves them. For the ONB basis q_in == q_out == q
+    (orthogonal); for IPB the Cholesky change of variables makes them
+    q_in = L^{-T} q and q_out = L q (see ``spectral_fast_path_available``)."""
+
+    sigma: Array  # (M,) drift eigenvalues
+    q_in: Array  # (M, M): V0 = q_in^T @ U0
+    q_out: Array  # (M, M): U = q_out @ V
+    b_rot: Array  # (M,) rotated drift/energy bias
+    e_const: Array  # scalar energy constant
+
+
 def _spectral_system(basis, cost):
-    """ONB+Gaussian: diagonalise the OU drift. Returns (sigma, q, b_rot,
-    energy_const) with A = q diag(sigma) q^T, b_rot = q^T b.
+    """Diagonalise the OU drift; returns a ``SpectralSystem``.
 
-    In rotated coordinates W = q^T U the update is elementwise:
-        W' = (1 - eta sigma) W + eta b_rot + sqrt(2 eta) eps
-    and the energy is 0.5 sum sigma W^2 - b_rot . W + const (the quadratic
-    forms are rotation-invariant). The eigh runs once per compiled call.
+    In rotated coordinates V the update is elementwise:
+        V' = (1 - eta sigma) V + eta b_rot + sqrt(2 eta) eps,  eps iid
+    and the energy is 0.5 sum sigma V^2 - b_rot . V + const. The
+    factorisations run once per compiled call.
 
-    NOTE: under jit on the TPU this eigh runs in reduced device precision
+    ONB: A symmetric, noise iid — eigh(A) directly.
+    IPB: W = L^{-1} U (Kzz = L L^T) symmetrises the drift and whitens the
+    noise; eigh(L^{-1} A L) then diagonalises. Energy matrix and bias map to
+    the same (sigma, b_rot) — the shared elementwise energy formula holds.
+
+    NOTE: under jit on the TPU eigh runs in reduced device precision
     (~1e-7 reconstruction error even on f64 inputs — a chip quirk). The
     public entry points (``train_pls``, ``langevin_steps``,
     ``parallel_train_pls``) therefore precompute the system EAGERLY via
-    ``spectral_system_host`` (host fp64 eigh) and pass it in; this in-jit
+    ``spectral_system_host`` (host fp64) and pass it in; this in-jit
     path is the fallback for direct ``_train_pls_scan`` callers.
     """
+    from projected_langevin_sampling_tpu.models.basis.orthonormal import (
+        OrthonormalBasis,
+    )
+
     a, b, _, _, e_const, _ = _quadratic_system(basis, cost)
-    sigma, q = jnp.linalg.eigh(a)
-    b_rot = q.T @ b
-    return sigma, q, b_rot, e_const
+    if isinstance(basis, OrthonormalBasis):
+        sigma, q = jnp.linalg.eigh(a)
+        b_rot = q.T @ b
+        return SpectralSystem(sigma, q, q, b_rot, e_const)
+    # IPB: W = S^{-1} U with S = V lam^{1/2} (the eigh PSD sqrt of Kzz — the
+    # exact same factor the basis uses for its update noise, so the W-space
+    # noise is iid by construction)
+    lam, v = jnp.linalg.eigh(basis.base_gram_induce)
+    lam = jnp.maximum(lam, jnp.finfo(lam.dtype).eps * lam[-1])
+    s = v * jnp.sqrt(lam)[None, :]
+    s_inv = (1.0 / jnp.sqrt(lam))[:, None] * v.T
+    a_w = s_inv @ a @ s
+    a_w = 0.5 * (a_w + a_w.T)  # symmetric in exact arithmetic
+    b_w = s_inv @ b
+    sigma, q = jnp.linalg.eigh(a_w)
+    b_rot = q.T @ b_w
+    q_in = s_inv.T @ q  # S^{-T} q : V0 = q_in^T U0
+    q_out = s @ q  # U = q_out V
+    return SpectralSystem(sigma, q_in, q_out, b_rot, e_const)
 
 
 def spectral_system_host(basis, cost):
-    """Eager (outside-jit) spectral system with the eigh in HOST float64.
+    """Eager (outside-jit) spectral system with the factorisations in HOST
+    float64.
 
     The drift matrix A is constant per (basis, cost) — independent of the
     step size — so the factorisation is hoisted out of the compiled program
@@ -234,15 +290,35 @@ def spectral_system_host(basis, cost):
     Must be called OUTSIDE jit."""
     import numpy as np
 
+    from projected_langevin_sampling_tpu.models.basis.orthonormal import (
+        OrthonormalBasis,
+    )
+
     a, b, _, _, e_const, _ = _quadratic_system(basis, cost)
     dtype = a.dtype
     a64 = np.asarray(jax.device_get(a), dtype=np.float64)
     b64 = np.asarray(jax.device_get(b), dtype=np.float64)
-    sigma64, q64 = np.linalg.eigh(a64)
-    b_rot64 = q64.T @ b64
-    return (
+    if isinstance(basis, OrthonormalBasis):
+        sigma64, q64 = np.linalg.eigh(a64)
+        q_in64 = q_out64 = q64
+        b_rot64 = q64.T @ b64
+    else:
+        kzz64 = np.asarray(jax.device_get(basis.base_gram_induce), dtype=np.float64)
+        lam, v = np.linalg.eigh(kzz64)
+        lam = np.maximum(lam, np.finfo(np.float64).eps * lam[-1])
+        s64 = v * np.sqrt(lam)[None, :]
+        s_inv64 = (1.0 / np.sqrt(lam))[:, None] * v.T
+        a_w = s_inv64 @ a64 @ s64
+        a_w = 0.5 * (a_w + a_w.T)
+        b_w = s_inv64 @ b64
+        sigma64, q64 = np.linalg.eigh(a_w)
+        b_rot64 = q64.T @ b_w
+        q_in64 = s_inv64.T @ q64
+        q_out64 = s64 @ q64
+    return SpectralSystem(
         jnp.asarray(sigma64, dtype=dtype),
-        jnp.asarray(q64, dtype=dtype),
+        jnp.asarray(q_in64, dtype=dtype),
+        jnp.asarray(q_out64, dtype=dtype),
         jnp.asarray(b_rot64, dtype=dtype),
         jnp.asarray(e_const, dtype=dtype),
     )
@@ -362,12 +438,12 @@ def _train_pls_scan(
             spectral_train_fused,
         )
 
-        sigma, q_mat, b_rot, e_const = spectral()
+        sigma, q_in, q_out, b_rot, e_const = spectral()
         decay = 1.0 - step_size * sigma
         shift = step_size * b_rot
         seed = jax.random.randint(key, (), 0, 2**31 - 1)
         w_final, energies = spectral_train_fused(
-            (q_mat.T @ particles),
+            (q_in.T @ particles),
             decay,
             shift,
             sigma,
@@ -381,7 +457,7 @@ def _train_pls_scan(
         energies = energies.astype(dtype)
         recorded, steps_run = _replay_early_stopper(energies, step_size, patience)
         return TrainResult(
-            (q_mat @ w_final.astype(dtype)), energies, recorded, steps_run
+            (q_out @ w_final.astype(dtype)), energies, recorded, steps_run
         )
 
     if tier == "general_fused":
@@ -411,8 +487,8 @@ def _train_pls_scan(
         return TrainResult(u_final.astype(dtype), energies, recorded, steps_run)
 
     if tier == "quadratic_fused":
-        # whole-run quadratic kernel (TPU only, opt-in): the ONLY fused tier
-        # for IPB+Gaussian (non-symmetric drift, correlated noise)
+        # whole-run quadratic kernel (TPU only, opt-in); IPB+Gaussian can
+        # also use the spectral tiers via the Cholesky change of variables
         from projected_langevin_sampling_tpu.models.basis.orthonormal import (
             OrthonormalBasis,
         )
@@ -433,7 +509,7 @@ def _train_pls_scan(
         return TrainResult(u_final.astype(dtype), energies, recorded, steps_run)
 
     if tier == "spectral":
-        sigma, q_mat, b_rot, e_const = spectral()
+        sigma, q_in, q_out, b_rot, e_const = spectral()
         decay = 1.0 - step_size * sigma  # (M,)
         shift = step_size * b_rot  # (M,)
 
@@ -449,8 +525,8 @@ def _train_pls_scan(
 
         step_fn, carry0, finish = (
             spectral_step,
-            q_mat.T @ particles,
-            lambda w: q_mat @ w,
+            q_in.T @ particles,
+            lambda w: q_out @ w,
         )
     elif tier == "quadratic":
         a_mat, b_vec, e_mat, e_bias, e_const, shared = _quadratic_system(basis, cost)
@@ -596,10 +672,10 @@ def langevin_steps(
             spectral_train_fused,
         )
 
-        sigma, q_mat, b_rot, e_const = spectral()
+        sigma, q_in, q_out, b_rot, e_const = spectral()
         seed = jax.random.randint(key, (), 0, 2**31 - 1)
         w_final, _ = spectral_train_fused(
-            q_mat.T @ particles,
+            q_in.T @ particles,
             1.0 - step_size * sigma,
             step_size * b_rot,
             sigma,
@@ -610,7 +686,7 @@ def langevin_steps(
             energy_const=e_const,
             num_steps=n_steps,
         )
-        return q_mat @ w_final.astype(dtype)
+        return q_out @ w_final.astype(dtype)
 
     if tier == "general_fused":
         from projected_langevin_sampling_tpu.ops.pallas.general_train import (
@@ -635,7 +711,7 @@ def langevin_steps(
         return u_final.astype(dtype)
 
     if tier == "spectral":
-        sigma, q_mat, b_rot, _ = spectral()
+        sigma, q_in, q_out, b_rot, _ = spectral()
         decay = 1.0 - step_size * sigma
         shift = step_size * b_rot
 
@@ -643,8 +719,8 @@ def langevin_steps(
             noise = jax.random.normal(key_t, w.shape, dtype=dtype)
             return decay[:, None] * w + shift[:, None] + root2eta * noise, None
 
-        final_w, _ = jax.lax.scan(spectral_body, q_mat.T @ particles, keys)
-        return q_mat @ final_w
+        final_w, _ = jax.lax.scan(spectral_body, q_in.T @ particles, keys)
+        return q_out @ final_w
 
     if tier == "quadratic_fused":
         from projected_langevin_sampling_tpu.models.basis.orthonormal import (

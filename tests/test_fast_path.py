@@ -72,7 +72,9 @@ def test_tier_resolution():
     onb, cost = _setup("onb")
     ipb, _ = _setup("ipb")
     assert resolve_fast_path(onb, cost, "auto") == "spectral"
-    assert resolve_fast_path(ipb, cost, "auto") == "quadratic"
+    # IPB+Gaussian diagonalises too (Cholesky change of variables)
+    assert resolve_fast_path(ipb, cost, "auto") == "spectral"
+    assert resolve_fast_path(ipb, cost, "spectral") == "spectral"
     bern = BernoulliCost(y_train=jnp.zeros(32))
     assert resolve_fast_path(onb, bern, "auto") == "off"
     nonlinear = GaussianCost(
@@ -82,38 +84,42 @@ def test_tier_resolution():
     )
     assert resolve_fast_path(onb, nonlinear, "auto") == "off"
     with pytest.raises(ValueError):
-        resolve_fast_path(ipb, cost, "spectral")
+        resolve_fast_path(onb, bern, "spectral")
     with pytest.raises(ValueError):
         resolve_fast_path(onb, bern, "quadratic")
 
 
-def test_spectral_energy_identity():
+@pytest.mark.parametrize("which", ["onb", "ipb"])
+def test_spectral_energy_identity(which):
     """For the SAME particles, the spectral energy formula must equal the
-    facade's energy potential exactly (rotation invariance of the quadratic
-    forms)."""
-    basis, cost = _setup("onb")
+    facade's energy potential exactly (invariance of the quadratic forms
+    under the rotation / the Cholesky change of variables)."""
+    basis, cost = _setup(which)
     pls = PLS(basis=basis, cost=cost)
-    sigma, q, b_rot, e_const = _spectral_system(basis, cost)
-    u = jnp.asarray(np.random.default_rng(1).normal(size=(basis.approximation_dimension, 12)))
-    w = q.T @ u
+    sigma, q_in, q_out, b_rot, e_const = _spectral_system(basis, cost)
+    u = jnp.asarray(
+        np.random.default_rng(1).normal(size=(basis.approximation_dimension, 12))
+    )
+    w = q_in.T @ u
     energy_spectral = float(
         jnp.mean(
             0.5 * jnp.sum(sigma[:, None] * jnp.square(w), axis=0) - b_rot @ w + e_const
         )
     )
     energy_facade = float(pls.calculate_energy_potential(u))
-    assert energy_spectral == pytest.approx(energy_facade, rel=1e-9)
+    assert energy_spectral == pytest.approx(energy_facade, rel=1e-7)
 
 
-def test_spectral_matches_stationary_law():
+@pytest.mark.parametrize("which", ["onb", "ipb"])
+def test_spectral_matches_stationary_law(which):
     """Spectral and general paths share the stationary distribution: compare
     empirical moments of both chains against each other."""
-    basis, cost = _setup("onb")
-    sigma2 = 0.1
-    p = np.asarray(basis.train_projection)
-    a = p.T @ p / sigma2 + np.diag(1.0 / np.asarray(basis.eigenvalues))
-    eta = 0.5 / np.linalg.eigvalsh(a).max()
-    steps = int(np.ceil(12.0 / (eta * np.linalg.eigvalsh(a).min())))
+    from projected_langevin_sampling_tpu.training import spectral_system_host
+
+    basis, cost = _setup(which)
+    sigma_sys = np.asarray(spectral_system_host(basis, cost).sigma, dtype=np.float64)
+    eta = 0.5 / sigma_sys.max()
+    steps = int(np.ceil(12.0 / (eta * sigma_sys.min())))
     j = 4000
     particles = basis.initialise_particles(j, key=0)
     u_spec = np.asarray(
@@ -169,30 +175,41 @@ def test_spectral_train_pls_converges():
     )
 
 
-def test_spectral_system_host_matches_jit():
-    """The host-fp64 eigh (hoisted out of jit to dodge the TPU's
+@pytest.mark.parametrize("which", ["onb", "ipb"])
+def test_spectral_system_host_matches_jit(which):
+    """The host-fp64 factorisation (hoisted out of jit to dodge the TPU's
     reduced-precision device eigh) must reproduce the in-jit factorisation:
-    same eigenvalues, same rotated drift, same reconstructed A."""
-    from projected_langevin_sampling_tpu.training import spectral_system_host
-
-    basis, cost = _setup("onb")
-    sigma_j, q_j, b_rot_j, e_const_j = jax.jit(
-        lambda b, c: _spectral_system(b, c)
-    )(basis, cost)
-    sigma_h, q_h, b_rot_h, e_const_h = spectral_system_host(basis, cost)
-    np.testing.assert_allclose(np.asarray(sigma_h), np.asarray(sigma_j), rtol=1e-10)
-    # eigenvectors are sign/rotation ambiguous; compare the reconstruction
-    a_j = np.asarray(q_j) @ np.diag(np.asarray(sigma_j)) @ np.asarray(q_j).T
-    a_h = np.asarray(q_h) @ np.diag(np.asarray(sigma_h)) @ np.asarray(q_h).T
-    np.testing.assert_allclose(a_h, a_j, rtol=1e-9, atol=1e-12)
-    # b must be preserved under the rotation: q @ b_rot == b
-    np.testing.assert_allclose(
-        np.asarray(q_h) @ np.asarray(b_rot_h),
-        np.asarray(q_j) @ np.asarray(b_rot_j),
-        rtol=1e-9,
-        atol=1e-12,
+    same eigenvalues, same reconstructed drift A == q_out diag(sigma) q_in^T,
+    same bias b == q_out b_rot."""
+    from projected_langevin_sampling_tpu.training import (
+        _quadratic_system,
+        spectral_system_host,
     )
-    np.testing.assert_allclose(float(e_const_h), float(e_const_j), rtol=1e-12)
+
+    basis, cost = _setup(which)
+    sys_j = jax.jit(lambda b, c: _spectral_system(b, c))(basis, cost)
+    sys_h = spectral_system_host(basis, cost)
+    np.testing.assert_allclose(
+        np.asarray(sys_h.sigma), np.asarray(sys_j.sigma), rtol=1e-8
+    )
+    # eigenvectors are sign/rotation ambiguous; compare the reconstruction
+    a_true = np.asarray(_quadratic_system(basis, cost)[0], dtype=np.float64)
+    for sys in (sys_j, sys_h):
+        a_rec = (
+            np.asarray(sys.q_out, dtype=np.float64)
+            @ np.diag(np.asarray(sys.sigma, dtype=np.float64))
+            @ np.asarray(sys.q_in, dtype=np.float64).T
+        )
+        np.testing.assert_allclose(a_rec, a_true, rtol=1e-7, atol=1e-9)
+    # b must be preserved: q_out @ b_rot == b
+    b_true = np.asarray(_quadratic_system(basis, cost)[1], dtype=np.float64)
+    np.testing.assert_allclose(
+        np.asarray(sys_h.q_out, dtype=np.float64) @ np.asarray(sys_h.b_rot, np.float64),
+        b_true,
+        rtol=1e-8,
+        atol=1e-10,
+    )
+    np.testing.assert_allclose(float(sys_h.e_const), float(sys_j.e_const), rtol=1e-12)
 
 
 def test_train_pls_spectral_uses_host_system_and_matches_law():
