@@ -268,6 +268,7 @@ def train_pls_runner(
         number_of_step_searches,
     )
     particles_out = particles
+    initial_energy = float(pls.calculate_energy_potential(particles))
     for i, step_size in enumerate(step_sizes):
         number_of_epochs = int(simulation_duration / step_size)
         particles_i, energy_potentials = train_pls(
@@ -287,11 +288,13 @@ def train_pls_runner(
         # (``runners.py:373``) — in float64 a diverged trajectory overflows to
         # inf within a few steps, so isfinite alone catches it. An
         # edge-of-stability step size, however, grows slowly enough to stay
-        # finite-but-astronomical for the whole run; require the energy to
-        # have NOT increased from its initial value as well (same intent,
-        # robust to slow divergence — e.g. curves 1/10 at the stock config).
-        diverged = bool(energy_potentials) and not (
-            energy_potentials[-1] <= energy_potentials[0]
+        # finite-but-astronomical for the whole run (and with a short patience
+        # it can stop after ONE recorded energy); additionally require the run
+        # to have IMPROVED on the initial particles' energy at some point —
+        # same intent as the reference's check, robust to slow divergence
+        # (e.g. curves 1/10 at the stock config select such a candidate).
+        diverged = bool(energy_potentials) and (
+            not (min(energy_potentials) <= initial_energy)
         )
         if energy_potentials and not diverged and bool(jnp.isfinite(particles_i).all()):
             energy_potentials_history[float(step_size)] = energy_potentials
