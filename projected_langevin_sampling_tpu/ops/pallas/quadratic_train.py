@@ -8,9 +8,12 @@ The quadratic tier (Gaussian cost, identity link — ``training.py``
 
 For the ONB basis A == E and S == I ("shared"), so ONE (M, M) x (M, J)
 matmul per step serves both this step's energy and the next step's drift.
-For the IPB basis A is non-symmetric (no spectral tier exists!) and the
-noise is correlated (S = psd-sqrt of k(Z,Z)) — this kernel is the ONLY
-fused path for IPB+Gaussian workloads.
+For the IPB basis A is non-symmetric in U coordinates and the noise is
+correlated (S = psd-sqrt of k(Z,Z)); this kernel runs that case directly.
+(IPB+Gaussian ALSO diagonalises after the S^{-1} change of variables —
+``training.spectral_fast_path_available`` — so the spectral tiers are
+usually the faster choice; this kernel remains the fused path that is
+trajectory-comparable to the quadratic XLA tier.)
 
 Everything (A, E, S, U, the carried V = A U) stays VMEM-resident for the
 whole run; noise comes from the hardware PRNG; energy + the reference's
