@@ -293,8 +293,12 @@ def train_pls_runner(
         # to have IMPROVED on the initial particles' energy at some point —
         # same intent as the reference's check, robust to slow divergence
         # (e.g. curves 1/10 at the stock config select such a candidate).
-        diverged = bool(energy_potentials) and (
-            not (min(energy_potentials) <= initial_energy)
+        # both the best AND the final energy must improve on doing nothing
+        # (a run can dip early and then slowly blow up before the stopper
+        # fires — its final particles are garbage even though it "improved")
+        diverged = bool(energy_potentials) and not (
+            min(energy_potentials) <= initial_energy
+            and energy_potentials[-1] <= initial_energy
         )
         if energy_potentials and not diverged and bool(jnp.isfinite(particles_i).all()):
             energy_potentials_history[float(step_size)] = energy_potentials
