@@ -163,11 +163,15 @@ def main() -> None:
     here = os.path.dirname(os.path.realpath(__file__))
     with open(os.path.join(here, "curves", "regression", "config.yaml")) as f:
         cfg = yaml.safe_load(f)
-    # denser step-size grid than the stock 3-point one, for BOTH scalings:
-    # the nystrom drift matrix is stiffer (columns scale 1/lambda vs
-    # 1/sqrt(lambda)), so its stability window can fall between 3 log-spaced
-    # candidates
-    cfg["pls"]["number_of_step_searches"] = 5
+    # denser step-size grid + longer simulated time than the stock config,
+    # for BOTH scalings: the nystrom drift matrix is stiffer (columns scale
+    # 1/lambda vs 1/sqrt(lambda)) — its stability window can fall between 3
+    # log-spaced candidates, and the stock duration 0.1 is shorter than the
+    # slowest mode's relaxation time 1/sigma_min ~ lambda_max, which leaves
+    # large-column coordinates visibly unconverged
+    cfg["pls"]["number_of_step_searches"] = 6
+    cfg["pls"]["simulation_duration"] = 1.0
+    cfg["pls"]["maximum_number_of_steps"] = 1e6
     rows = []
     with tempfile.TemporaryDirectory() as workdir:
         for curve_function in CURVE_FUNCTIONS:
@@ -180,9 +184,10 @@ def main() -> None:
         "# ONB scaling comparison — 10 synthetic curves (test split)",
         "",
         "Same learned kernel, inducing points, protocol (curve regression",
-        "config, step-size search densified to 5 candidates for every",
-        "column) — only the ONB eigenvector scaling differs. SVGP (fixed",
-        "kernel) is the baseline the scalings are judged against.",
+        "config with simulation_duration 1.0 and a 6-candidate step-size",
+        "grid for every column — the stock 0.1 is shorter than the slowest",
+        "OU mode's relaxation time) — only the ONB eigenvector scaling",
+        "differs. SVGP (fixed kernel) is the baseline.",
         "",
         "| curve | ref MSE | nystrom MSE | svgp MSE | ref NLL | nystrom NLL | svgp NLL |",
         "|---|---|---|---|---|---|---|",
