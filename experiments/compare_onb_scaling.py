@@ -106,6 +106,10 @@ def run_curve(curve_function, cfg, workdir: str) -> dict:
             x_train=experiment_data.train.x,
             scaling=scaling,
             verbose=False,
+            # truncated Nystrom: the 1/lambda columns make the Langevin
+            # stiffness (N/s^2)/lambda_min — untruncated tiny eigenvalues put
+            # the stable step below any practical grid on 1-D grams
+            relative_eigenvalue_threshold=1e-5 if scaling == "nystrom" else None,
         )
         pls = PLS(basis=basis, cost=cost)
         particles = pls.initialise_particles(

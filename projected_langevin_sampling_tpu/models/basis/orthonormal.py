@@ -194,6 +194,7 @@ def build_orthonormal_basis(
     additional_predictive_noise_distribution: object | None = None,
     verbose: bool = True,
     scaling: str = "reference",
+    relative_eigenvalue_threshold: float | None = None,
 ) -> OrthonormalBasis:
     """Host-side constructor — the O(M^3) step (reference ``orthonormal.py:22-68``).
 
@@ -204,6 +205,14 @@ def build_orthonormal_basis(
     V/sqrt(M_k*lambda); "nystrom" is the consistent empirical-KKL scaling
     V/(sqrt(M)*lambda) whose implied function-space prior is the Nystrom
     approximation of k — see the OrthonormalBasis field docs and DESIGN.md.
+
+    ``relative_eigenvalue_threshold``: drop eigenpairs with
+    lambda <= rel * lambda_max (overrides ``eigenvalue_threshold`` when
+    larger). Standard truncated-Nystrom practice and practically REQUIRED
+    with scaling="nystrom" on ill-conditioned k(Z,Z): the 1/lambda basis
+    columns make the Langevin stiffness scale as (N/sigma^2)/lambda_min, so
+    untruncated tiny eigenvalues put the stable step size below any
+    practical grid (see results/onb_scaling_comparison.md).
     """
     import numpy as np
 
@@ -223,6 +232,11 @@ def build_orthonormal_basis(
     eigenvalues, eigenvectors = np.linalg.eigh(
         np.asarray(base_gram_induce, dtype=np.float64) / m
     )
+    if relative_eigenvalue_threshold is not None and eigenvalues.size:
+        eigenvalue_threshold = max(
+            eigenvalue_threshold,
+            float(relative_eigenvalue_threshold) * float(eigenvalues[-1]),
+        )
     keep = np.where(eigenvalues > eigenvalue_threshold)[0]
     eigenvalues = eigenvalues[keep]
     eigenvectors = eigenvectors[:, keep]
