@@ -171,6 +171,9 @@ def main(
         x_induce=inducing_points.x,
         x_train=experiment_data.train.x,
         scaling=pls_config.get("onb_scaling", "reference"),
+        relative_eigenvalue_threshold=pls_config.get(
+            "onb_relative_eigenvalue_threshold"
+        ),
     )
     cost = BernoulliCost(
         y_train=experiment_data.train.y, link_function=SigmoidLinkFunction()

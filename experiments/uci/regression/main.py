@@ -207,6 +207,9 @@ def main(
         x_induce=inducing_points.x,
         x_train=experiment_data.train.x,
         scaling=pls_config.get("onb_scaling", "reference"),
+        relative_eigenvalue_threshold=pls_config.get(
+            "onb_relative_eigenvalue_threshold"
+        ),
     )
     gaussian_cost = GaussianCost(
         observation_noise=likelihood.noise,
@@ -222,6 +225,9 @@ def main(
         x_induce=inducing_points.x,
         x_train=experiment_data.train.x,
         scaling=pls_config.get("onb_scaling", "reference"),
+        relative_eigenvalue_threshold=pls_config.get(
+            "onb_relative_eigenvalue_threshold"
+        ),
         additional_predictive_noise_distribution=StudentTPredictiveNoise(
             df=degrees_of_freedom, loc=0.0, scale=float(likelihood.noise)
         ),
