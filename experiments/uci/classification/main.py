@@ -49,6 +49,10 @@ parser = argparse.ArgumentParser(description="Main script for UCI classification
 parser.add_argument("--config_path", type=str, required=True)
 parser.add_argument("--data_seed", type=int, required=False, default=-1)
 parser.add_argument("--dataset", type=str, required=False, default=None)
+parser.add_argument(
+    "--outputs_dirname", type=str, required=False, default="outputs",
+    help="outputs subdirectory (use a distinct one for non-default configs)",
+)
 
 MODEL_NAMES = ["pls-onb", "svgp"]
 METRICS = ["acc", "auc", "f1", "nll"]
@@ -287,7 +291,9 @@ if __name__ == "__main__":
     args = parser.parse_args()
     with open(args.config_path) as file:
         loaded_config = yaml.safe_load(file)
-    outputs_path = os.path.join(os.path.dirname(os.path.realpath(__file__)), "outputs")
+    outputs_path = os.path.join(
+        os.path.dirname(os.path.realpath(__file__)), args.outputs_dirname
+    )
     data_seeds = [args.data_seed] if args.data_seed >= 0 else list(range(10))
     # --dataset also accepts the extra offline real datasets
     # (constants.EXTRA_CLASSIFICATION_DATASETS); the full sweep stays the
