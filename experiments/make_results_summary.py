@@ -67,9 +67,19 @@ def uci_section(name: str, outputs: str, metrics: list[str], note: str) -> str:
 
 def profiler_section() -> str:
     out = ["## Profiler protocol (reference N/M/T/J sweep shape, 10 seeds)\n"]
-    for label, sub in [("CPU backend", "outputs"), ("TPU v5e", "outputs_tpu")]:
-        base = os.path.join(ROOT, "experiments", "profiler", sub)
-        if not os.path.isdir(base):
+    for label, candidates in [
+        ("CPU backend", ["results/profiler_cpu", "experiments/profiler/outputs"]),
+        ("TPU v5e", ["results/profiler_tpu", "experiments/profiler/outputs_tpu"]),
+    ]:
+        base = next(
+            (
+                os.path.join(ROOT, c)
+                for c in candidates
+                if os.path.isdir(os.path.join(ROOT, c))
+            ),
+            None,
+        )
+        if base is None:
             continue
         out.append(f"### {label}\n")
         rows = ["| axis | model | first → last (mean ms over seeds) |", "|---|---|---|"]
@@ -83,6 +93,72 @@ def profiler_section() -> str:
                 rows.append(
                     f"| {axis[:-4]} | {model} | {sel.iloc[0]:.1f} → {sel.iloc[-1]:.1f} |"
                 )
+        out.append("\n".join(rows) + "\n")
+    return "\n".join(out)
+
+
+def curves_section() -> str:
+    """Selected step size / epochs / learned observation noise per curve from
+    the curve-regression checkpoints (sigma_true=0.2 => true noise var 0.04)."""
+    import glob
+    import pickle
+
+    base = os.path.join(ROOT, "experiments", "curves", "regression", "outputs", "models")
+    if not os.path.isdir(base):
+        return ""
+    out = [
+        "## Curve regression (FULL reference config, sigma_true=0.2 => true noise variance 0.04)\n",
+        "| curve | selected step size | epochs | learned obs. noise |",
+        "|---|---|---|---|",
+    ]
+    for path in sorted(glob.glob(os.path.join(base, "*", "pls-onb.pkl"))):
+        curve = os.path.basename(os.path.dirname(path))
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        lr = payload.get("best_lr")
+        out.append(
+            f"| {curve} | {lr:.1e} | {payload.get('number_of_epochs')} | "
+            f"{float(payload.get('observation_noise')):.4f} |"
+            if lr is not None
+            else f"| {curve} | (no candidate kept) | — | — |"
+        )
+    out.append(
+        "\nThe step-size search + tempering recover the true noise variance "
+        "where the search converges; see also "
+        "`results/onb_scaling_comparison.md` for the reference-vs-nystrom "
+        "ONB scaling comparison on the same curves.\n"
+    )
+    return "\n".join(out)
+
+
+def nystrom_section() -> str:
+    """Reference vs nystrom ONB scaling on the UCI regression protocol
+    (pls-onb rows only, test split)."""
+    ref = collect(os.path.join(ROOT, "experiments/uci/regression/outputs"), "test")
+    nys = collect(
+        os.path.join(ROOT, "experiments/uci/regression/outputs_nystrom"), "test"
+    )
+    if ref.empty or nys.empty:
+        return ""
+    out = [
+        "## ONB scaling on UCI regression (pls-onb, test split)\n",
+        "Same protocol; `scaling=nystrom` + truncated-Nystrom thresholding\n"
+        "(config_nystrom.yaml) vs the reference scaling. Seeds available in\n"
+        "parens.\n",
+    ]
+    for metric in ("nll", "mse"):
+        rows = [f"### {metric}\n", "| dataset | reference | nystrom |", "|---|---|---|"]
+        r = ref[(ref["model"] == "pls-onb") & (ref["metric"] == metric)]
+        n = nys[(nys["model"] == "pls-onb") & (nys["metric"] == metric)]
+        common_seeds = set(n["seed"].unique())
+        r = r[r["seed"].isin(common_seeds)]
+        for dataset in sorted(set(r["dataset"]) & set(n["dataset"])):
+            rv = r[r["dataset"] == dataset]["value"]
+            nv = n[n["dataset"] == dataset]["value"]
+            rows.append(
+                f"| {dataset} | {rv.mean():.4f} +- {rv.std() or 0:.4f} ({len(rv)}) "
+                f"| {nv.mean():.4f} +- {nv.std() or 0:.4f} ({len(nv)}) |"
+            )
         out.append("\n".join(rows) + "\n")
     return "\n".join(out)
 
@@ -117,8 +193,11 @@ def main() -> None:
             "Dirichlet-transformed targets (the round-2 fix — see\n"
             "tests/test_dirichlet.py). `breast_wdbc` rows are REAL data.",
         ),
+        nystrom_section(),
+        curves_section(),
         profiler_section(),
     ]
+    sections = [s for s in sections if s]
     path = os.path.join(ROOT, "RESULTS.md")
     with open(path, "w") as f:
         f.write("\n".join(sections))
