@@ -132,35 +132,42 @@ def curves_section() -> str:
 
 
 def nystrom_section() -> str:
-    """Reference vs nystrom ONB scaling on the UCI regression protocol
+    """Reference vs nystrom ONB scaling on the UCI protocols
     (pls-onb rows only, test split)."""
-    ref = collect(os.path.join(ROOT, "experiments/uci/regression/outputs"), "test")
-    nys = collect(
-        os.path.join(ROOT, "experiments/uci/regression/outputs_nystrom"), "test"
-    )
-    if ref.empty or nys.empty:
-        return ""
-    out = [
-        "## ONB scaling on UCI regression (pls-onb, test split)\n",
-        "Same protocol; `scaling=nystrom` + truncated-Nystrom thresholding\n"
-        "(config_nystrom.yaml) vs the reference scaling. Seeds available in\n"
-        "parens.\n",
-    ]
-    for metric in ("nll", "mse"):
-        rows = [f"### {metric}\n", "| dataset | reference | nystrom |", "|---|---|---|"]
-        r = ref[(ref["model"] == "pls-onb") & (ref["metric"] == metric)]
-        n = nys[(nys["model"] == "pls-onb") & (nys["metric"] == metric)]
-        common_seeds = set(n["seed"].unique())
-        r = r[r["seed"].isin(common_seeds)]
-        for dataset in sorted(set(r["dataset"]) & set(n["dataset"])):
-            rv = r[r["dataset"] == dataset]["value"]
-            nv = n[n["dataset"] == dataset]["value"]
-            rows.append(
-                f"| {dataset} | {rv.mean():.4f} +- {rv.std() or 0:.4f} ({len(rv)}) "
-                f"| {nv.mean():.4f} +- {nv.std() or 0:.4f} ({len(nv)}) |"
-            )
-        out.append("\n".join(rows) + "\n")
-    return "\n".join(out)
+    out_all = []
+    for task, metrics in (("regression", ("nll", "mse")), ("classification", ("nll", "auc"))):
+        ref = collect(os.path.join(ROOT, f"experiments/uci/{task}/outputs"), "test")
+        nys = collect(
+            os.path.join(ROOT, f"experiments/uci/{task}/outputs_nystrom"), "test"
+        )
+        if ref.empty or nys.empty:
+            continue
+        out = [
+            f"## ONB scaling on UCI {task} (pls-onb, test split)\n",
+            "Same protocol; `scaling=nystrom` + truncated-Nystrom thresholding\n"
+            "(config_nystrom.yaml) vs the reference scaling, restricted to the\n"
+            "seeds the nystrom run covers. Seed count in parens.\n",
+        ]
+        for metric in metrics:
+            rows = [
+                f"### {metric}\n",
+                "| dataset | reference | nystrom |",
+                "|---|---|---|",
+            ]
+            r = ref[(ref["model"] == "pls-onb") & (ref["metric"] == metric)]
+            n = nys[(nys["model"] == "pls-onb") & (nys["metric"] == metric)]
+            common_seeds = set(n["seed"].unique())
+            r = r[r["seed"].isin(common_seeds)]
+            for dataset in sorted(set(r["dataset"]) & set(n["dataset"])):
+                rv = r[r["dataset"] == dataset]["value"]
+                nv = n[n["dataset"] == dataset]["value"]
+                rows.append(
+                    f"| {dataset} | {rv.mean():.4f} +- {rv.std() or 0:.4f} ({len(rv)}) "
+                    f"| {nv.mean():.4f} +- {nv.std() or 0:.4f} ({len(nv)}) |"
+                )
+            out.append("\n".join(rows) + "\n")
+        out_all.append("\n".join(out))
+    return "\n".join(out_all)
 
 
 def main() -> None:
