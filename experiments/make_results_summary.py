@@ -146,7 +146,12 @@ def nystrom_section() -> str:
             f"## ONB scaling on UCI {task} (pls-onb, test split)\n",
             "Same protocol; `scaling=nystrom` + truncated-Nystrom thresholding\n"
             "(config_nystrom.yaml) vs the reference scaling, restricted to the\n"
-            "seeds the nystrom run covers. Seed count in parens.\n",
+            "seeds the nystrom run covers. Seed count in parens. Root-cause\n"
+            "analysis in docs/DESIGN.md 'ONB prior scaling': the reference\n"
+            "scaling's implied function-space prior underestimates k(x,x),\n"
+            "over-shrinking the posterior; the nystrom scaling's prior is the\n"
+            "Nystrom approximation of k and its Gaussian-cost stationary mean\n"
+            "is the Titsias-optimal SVGP mean.\n",
         ]
         for metric in metrics:
             rows = [
