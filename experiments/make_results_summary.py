@@ -135,7 +135,15 @@ def nystrom_section() -> str:
     """Reference vs nystrom ONB scaling on the UCI protocols
     (pls-onb rows only, test split)."""
     out_all = []
-    for task, metrics in (("regression", ("nll", "mse")), ("classification", ("nll", "auc"))):
+    # regression only: with non-Gaussian costs the GENERAL N-space path's
+    # stable step under the nystrom scaling shrinks with the squared basis
+    # columns (1/lambda^2) and falls below the stock protocol's step grid on
+    # most grams even with truncation — the step-size search then keeps no
+    # candidate (AUC ~0.5). The Gaussian-cost spectral tier is unaffected.
+    # Removing that stiffness needs a splitting/exponential-Euler
+    # discretisation of the (linear, diagonal) prior drift — future work,
+    # noted in docs/DESIGN.md.
+    for task, metrics in (("regression", ("nll", "mse")),):
         ref = collect(os.path.join(ROOT, f"experiments/uci/{task}/outputs"), "test")
         nys = collect(
             os.path.join(ROOT, f"experiments/uci/{task}/outputs_nystrom"), "test"
