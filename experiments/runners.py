@@ -249,6 +249,7 @@ def train_pls_runner(
     plot_energy_potential_path: str | None = None,
     metric_to_optimise: str = "nll",
     fast_path: str = "auto",
+    discretisation: str = "euler",
 ) -> tuple[Array, float | None, int]:
     """Log-spaced step-size search (reference ``runners.py:331-446``): each
     candidate runs for simulation_duration/step_size epochs from the SAME
@@ -279,6 +280,7 @@ def train_pls_runner(
             early_stopper_patience=early_stopper_patience,
             seed=seed,
             fast_path=fast_path,
+            discretisation=discretisation,
             tqdm_desc=(
                 f"PLS Step Size Search {i + 1} of {number_of_step_searches} "
                 f"for {particle_name} ({step_size=})"

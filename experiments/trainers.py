@@ -35,6 +35,7 @@ def train_pls(
     seed: int | None = None,
     fast_path: str = "auto",
     tqdm_desc: str | None = None,  # accepted for signature parity; loop is jitted
+    discretisation: str = "euler",
 ) -> tuple[Array, list[float]]:
     """Reference ``trainers.py:139-162`` — whole loop runs as one lax.scan."""
     return _train_pls(
@@ -45,6 +46,7 @@ def train_pls(
         early_stopper_patience=early_stopper_patience,
         seed=seed if seed is not None else 0,
         fast_path=fast_path,
+        discretisation=discretisation,
     )
 
 

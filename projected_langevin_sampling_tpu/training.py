@@ -406,7 +406,7 @@ def _step_carry_pred(basis, cost, particles: Array, train_pred: Array, step_size
 
 
 @functools.partial(
-    jax.jit, static_argnames=("number_of_epochs", "fast_path")
+    jax.jit, static_argnames=("number_of_epochs", "fast_path", "discretisation")
 )
 def _train_pls_scan(
     basis,
@@ -418,6 +418,7 @@ def _train_pls_scan(
     number_of_epochs: int,
     fast_path: str = "auto",
     spectral_system=None,
+    discretisation: str = "euler",
 ) -> TrainResult:
     dtype = particles.dtype
     step_size = jnp.asarray(step_size, dtype=dtype)
@@ -547,6 +548,46 @@ def _train_pls_scan(
         step_fn = quadratic_step
         carry0 = (particles, a_mat @ particles if shared else jnp.zeros_like(particles))
         finish = lambda c: c[0]
+    elif discretisation == "exponential":
+        # OU-splitting / exponential-Euler (opt-in, ONB only): the prior
+        # drift -U/lambda is linear and diagonal, so its sub-step (with the
+        # matching share of the noise) is integrated EXACTLY:
+        #     U -> d*(U - eta B^T dc) + sqrt(lambda (1 - d^2)) eps,
+        #     d = exp(-eta/lambda).
+        # Unconditionally stable in the prior part — removes the 2*lambda_min
+        # explicit-Euler step bound that stiff spectra (e.g. the nystrom
+        # scaling's 1/lambda columns under non-Gaussian costs) impose.
+        # Same continuous-time process; O(eta) discretisation bias like
+        # Euler, but no stiffness constraint from the prior.
+        from projected_langevin_sampling_tpu.models.basis.orthonormal import (
+            OrthonormalBasis,
+        )
+
+        if not isinstance(basis, OrthonormalBasis):
+            raise ValueError(
+                "discretisation='exponential' requires the ONB basis "
+                "(diagonal prior precision, iid update noise)"
+            )
+        lam = basis.eigenvalues.astype(dtype)
+        exp_decay = jnp.exp(-step_size / lam)[:, None]
+        exp_noise = jnp.sqrt(lam * (1.0 - jnp.exp(-2.0 * step_size / lam)))[:, None]
+
+        def general_step(carry, key_t):
+            u, pred = carry
+            dc = cost.calculate_cost_derivative(pred)
+            eps = jax.random.normal(key_t, u.shape, dtype=dtype)
+            u_new = (
+                exp_decay * (u - step_size * (basis.train_projection.T @ dc))
+                + exp_noise * eps
+            )
+            pred_new = basis.calculate_untransformed_train_prediction_samples(u_new)
+            energy = basis.calculate_energy_potential(
+                u_new, cost.calculate_cost(pred_new)
+            )
+            return (u_new, pred_new), energy
+
+        pred0 = basis.calculate_untransformed_train_prediction_samples(particles)
+        step_fn, carry0, finish = general_step, (particles, pred0), lambda c: c[0]
     else:
 
         def general_step(carry, key_t):
@@ -607,17 +648,30 @@ def train_pls(
     key: KeyArray | int | None = None,
     seed: int | None = None,
     fast_path: str = "auto",
+    discretisation: str = "euler",
 ) -> tuple[Array, list[float]]:
     """Train PLS particles; returns (particles, energy_potentials) exactly like
     reference ``experiments/trainers.py:139-162``. ``fast_path`` selects the
-    algebraic specialisation tier (see ``resolve_fast_path``)."""
+    algebraic specialisation tier (see ``resolve_fast_path``).
+
+    ``discretisation``: "euler" (the reference's explicit scheme) or
+    "exponential" (opt-in, ONB only) — OU-splitting that integrates the
+    prior drift + its noise share exactly, removing the 2*lambda_min
+    stability bound. Runs the general N-space path (the fast-path tiers
+    implement the Euler recursion)."""
     if key is None and seed is not None:
         key = seed
-    tier = resolve_fast_path(
-        pls.basis,
-        pls.cost,
-        fast_path,
-        particles_bytes=particles.dtype.itemsize * particles.size,
+    if discretisation not in ("euler", "exponential"):
+        raise ValueError(f"Unknown discretisation {discretisation!r}")
+    tier = (
+        "off"
+        if discretisation == "exponential"
+        else resolve_fast_path(
+            pls.basis,
+            pls.cost,
+            fast_path,
+            particles_bytes=particles.dtype.itemsize * particles.size,
+        )
     )
     # the spectral factorisation is hoisted out of jit so the eigh runs in
     # host fp64 (the TPU's device eigh is reduced-precision)
@@ -636,6 +690,7 @@ def train_pls(
         int(number_of_epochs),
         tier,
         spectral_system,
+        discretisation,
     )
     energies = [
         float(e) for e, r in zip(result.energies.tolist(), result.recorded.tolist()) if r
