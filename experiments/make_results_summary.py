@@ -140,9 +140,9 @@ def nystrom_section() -> str:
     # columns (1/lambda^2) and falls below the stock protocol's step grid on
     # most grams even with truncation — the step-size search then keeps no
     # candidate (AUC ~0.5). The Gaussian-cost spectral tier is unaffected.
-    # Removing that stiffness needs a splitting/exponential-Euler
-    # discretisation of the (linear, diagonal) prior drift — future work,
-    # noted in docs/DESIGN.md.
+    # The opt-in exponential-Euler discretisation removes only the PRIOR
+    # stiffness; the binding data-term curvature needs a preconditioned or
+    # semi-implicit data step — future work, noted in docs/DESIGN.md.
     for task, metrics in (("regression", ("nll", "mse")),):
         ref = collect(os.path.join(ROOT, f"experiments/uci/{task}/outputs"), "test")
         nys = collect(
