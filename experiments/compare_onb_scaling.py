@@ -197,6 +197,14 @@ def main() -> None:
         "|---|---|---|---|---|---|---|",
     ]
     for r in rows:
+        # a column's runner may have returned None (e.g. no SVGP candidate
+        # kept) — default the missing metrics so one bad curve cannot lose
+        # the whole multi-hour sweep's summary
+        for key in (
+            "reference_mse", "nystrom_mse", "svgp_mse",
+            "reference_nll", "nystrom_nll", "svgp_nll",
+        ):
+            r.setdefault(key, float("nan"))
         out.append(
             "| {curve} | {reference_mse:.4f} | {nystrom_mse:.4f} | {svgp_mse:.4f} "
             "| {reference_nll:.4f} | {nystrom_nll:.4f} | {svgp_nll:.4f} |".format(**r)

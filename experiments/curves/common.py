@@ -149,6 +149,8 @@ def train_or_load_pls(
             metric_to_optimise=pls_config["metric_to_optimise"],
             early_stopper_patience=pls_config["early_stopper_patience"],
             fast_path=pls_config.get("fast_path", "auto"),
+            discretisation=pls_config.get("discretisation", "euler"),
+            parallel=pls_config.get("parallel"),
         )
         save_pls(
             pls_path,

@@ -250,6 +250,7 @@ def train_pls_runner(
     metric_to_optimise: str = "nll",
     fast_path: str = "auto",
     discretisation: str = "euler",
+    parallel: dict | None = None,
 ) -> tuple[Array, float | None, int]:
     """Log-spaced step-size search (reference ``runners.py:331-446``): each
     candidate runs for simulation_duration/step_size epochs from the SAME
@@ -281,6 +282,7 @@ def train_pls_runner(
             seed=seed,
             fast_path=fast_path,
             discretisation=discretisation,
+            parallel=parallel,
             tqdm_desc=(
                 f"PLS Step Size Search {i + 1} of {number_of_step_searches} "
                 f"for {particle_name} ({step_size=})"

@@ -36,8 +36,40 @@ def train_pls(
     fast_path: str = "auto",
     tqdm_desc: str | None = None,  # accepted for signature parity; loop is jitted
     discretisation: str = "euler",
+    parallel: dict | None = None,
 ) -> tuple[Array, list[float]]:
-    """Reference ``trainers.py:139-162`` — whole loop runs as one lax.scan."""
+    """Reference ``trainers.py:139-162`` — whole loop runs as one lax.scan.
+
+    ``parallel``: optional mesh shape (``{"data": D, "particles": P}``, from
+    the experiment config's ``pls.parallel`` key) — routes the run through
+    ``parallel.parallel_train_pls`` on a D x P device mesh (GSPMD over the
+    same scan; identical math to single-device up to reduction order)."""
+    if parallel:
+        from projected_langevin_sampling_tpu.parallel import (
+            make_mesh,
+            parallel_train_pls,
+        )
+
+        mesh = make_mesh(
+            int(parallel.get("data", 1)), int(parallel.get("particles", 1))
+        )
+        result = parallel_train_pls(
+            mesh,
+            pls,
+            particles=particles,
+            number_of_epochs=number_of_epochs,
+            step_size=step_size,
+            early_stopper_patience=early_stopper_patience,
+            key=seed if seed is not None else 0,
+            fast_path=fast_path,
+            discretisation=discretisation,
+        )
+        energies = [
+            float(e)
+            for e, r in zip(result.energies.tolist(), result.recorded.tolist())
+            if r
+        ]
+        return result.particles, energies
     return _train_pls(
         pls=pls,
         particles=particles,

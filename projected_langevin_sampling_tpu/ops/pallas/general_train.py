@@ -92,6 +92,9 @@ def _general_train_kernel(
     u_in_ref,  # (M_k, J) f32 initial particles (aliased to u_out)
     y_ref,  # (N_pad, 1) f32 targets (zero in padded rows)
     inv_lam_ref,  # (M_k, 1) f32 1/eigenvalues (ONB prior precision)
+    dec_ref,  # (M_k, 1) f32 split-scheme decay (unused for Euler)
+    ds_ref,  # (M_k, 1) f32 split-scheme data-drift row scale (unused for Euler)
+    nscale_ref,  # (M_k, 1) f32 split-scheme noise row std (unused for Euler)
     scalar_ref,  # (1, 7) SMEM: [seed, eta, patience, p0, p1, n_valid, J]
     u_out_ref,  # (M_k, J) f32 final particles
     energy_ref,  # (T, 1) f32 energy trace (NaN once stopped)
@@ -100,6 +103,7 @@ def _general_train_kernel(
     num_steps: int,
     tile_n: int,
     cost_kind: str,
+    discretisation: str = "euler",
     zero_noise: bool = False,  # test hook: deterministic gradient flow
 ):
     pltpu.prng_seed(scalar_ref[0, 0].astype(jnp.int32))
@@ -174,11 +178,25 @@ def _general_train_kernel(
         @pl.when(jnp.logical_not(stopped))
         def _():
             u = u_out_ref[:]
-            drift = eta * (g_ref[:] + u * inv_lam)
-            if zero_noise:
-                u_out_ref[:] = u - drift
+            if discretisation == "euler":
+                drift = eta * (g_ref[:] + u * inv_lam)
+                if zero_noise:
+                    u_out_ref[:] = u - drift
+                else:
+                    u_out_ref[:] = u - drift + root2eta * _standard_normals(u.shape)
             else:
-                u_out_ref[:] = u - drift + root2eta * _standard_normals(u.shape)
+                # split schemes (exponential / preconditioned): explicit data
+                # sub-step, then the EXACT prior+noise OU flow —
+                #   U' = dec * (U - eta ds*G) + nscale * eps
+                # (row constants precomputed by the wrapper; training.py has
+                # the derivations)
+                u_half = u - eta * (ds_ref[:] * g_ref[:])
+                if zero_noise:
+                    u_out_ref[:] = dec_ref[:] * u_half
+                else:
+                    u_out_ref[:] = dec_ref[:] * u_half + nscale_ref[
+                        :
+                    ] * _standard_normals(u.shape)
 
         return min_loss, sim_time, stopped
 
@@ -204,7 +222,8 @@ def _pick_tile_n(n: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_steps", "cost_kind", "interpret", "zero_noise")
+    jax.jit,
+    static_argnames=("num_steps", "cost_kind", "interpret", "zero_noise", "discretisation"),
 )
 def general_train_fused(
     p: Array,  # (N, M_k) train projection (any float dtype; stored bf16)
@@ -220,14 +239,20 @@ def general_train_fused(
     cost_param1=0.0,
     interpret: bool = False,
     zero_noise: bool = False,
+    discretisation: str = "euler",
 ) -> tuple[Array, Array]:
     """Run num_steps general-path training steps fully in VMEM.
 
     Returns (u_final, energies) with the same semantics as the "off" tier of
     ``_train_pls_scan`` (NaN energies after the early stop). Law-equivalent,
     not path-equivalent (hardware PRNG; bf16 MXU operands — the same operand
-    precision as XLA's default f32 matmul on this TPU)."""
+    precision as XLA's default f32 matmul on this TPU).
+
+    ``discretisation``: "euler" (reference scheme), or the split schemes
+    "exponential" / "preconditioned" — same recurrences as the "off" tier of
+    ``_train_pls_scan`` (see training.py for the derivations)."""
     assert cost_kind in COST_KINDS, cost_kind
+    assert discretisation in ("euler", "exponential", "preconditioned"), discretisation
     n, m_k = p.shape
     j = u0.shape[1]
     # pad N to a tile multiple; padded rows are masked in-kernel
@@ -250,16 +275,34 @@ def general_train_fused(
             jnp.asarray(j, dtype=jnp.float32),
         ]
     )[None, :]
-    inv_lam = (1.0 / eigenvalues.astype(jnp.float32))[:, None]
+    lam32 = eigenvalues.astype(jnp.float32)
+    inv_lam = (1.0 / lam32)[:, None]
+    eta32 = jnp.asarray(eta, dtype=jnp.float32)
+    if discretisation == "exponential":
+        dec = jnp.exp(-eta32 / lam32)[:, None]
+        ds = jnp.ones_like(inv_lam)
+        nscale = jnp.sqrt(lam32 * -jnp.expm1(-2.0 * eta32 / lam32))[:, None]
+    elif discretisation == "preconditioned":
+        dec = jnp.full_like(inv_lam, jnp.exp(-eta32))
+        ds = lam32[:, None]
+        nscale = jnp.sqrt(lam32 * -jnp.expm1(-2.0 * eta32))[:, None]
+    else:  # euler: row constants unused
+        dec = jnp.ones_like(inv_lam)
+        ds = jnp.ones_like(inv_lam)
+        nscale = jnp.zeros_like(inv_lam)
     u_final, energies = pl.pallas_call(
         functools.partial(
             _general_train_kernel,
             num_steps=num_steps,
             tile_n=tile_n,
             cost_kind=cost_kind,
+            discretisation=discretisation,
             zero_noise=zero_noise,
         ),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -280,5 +323,5 @@ def general_train_fused(
         # Box-Muller temporaries exceed it at production scale
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(p_pad, u0.astype(jnp.float32), y_pad, inv_lam, scalars)
+    )(p_pad, u0.astype(jnp.float32), y_pad, inv_lam, dec, ds, nscale, scalars)
     return u_final, energies[:, 0]

@@ -62,7 +62,7 @@ def _spectral_train_kernel(
     shift_ref,  # (M, 1)
     sigma_ref,  # (M, 1)
     b_ref,  # (M, 1)
-    scalar_ref,  # (1, 4) SMEM: [seed, eta, patience, e_const]
+    scalar_ref,  # (1, 5) SMEM: [seed, eta, patience, e_const, noise_scale]
     out_ref,  # (M, J) final particles
     energy_ref,  # (T, 1) energy trace (NaN once stopped)
     *,
@@ -72,7 +72,8 @@ def _spectral_train_kernel(
     eta = scalar_ref[0, 1]
     patience = scalar_ref[0, 2]
     e_const = scalar_ref[0, 3]
-    root2eta = jnp.sqrt(2.0 * eta)
+    root2eta = scalar_ref[0, 4]  # sqrt(2 eta) for Euler; the preconditioned
+    # discretisation passes sqrt(1 - e^{-2 eta}) (training.py spectral tier)
     j = w_ref.shape[1]
 
     out_ref[:] = w_ref[:]
@@ -128,18 +129,24 @@ def spectral_train_fused(
     energy_const,
     num_steps: int,
     interpret: bool = False,
+    noise_scale=None,
 ) -> tuple[Array, Array]:
     """Run num_steps spectral training steps fully in VMEM.
 
     Returns (w_final, energies) with the same semantics as the spectral tier
-    of ``_train_pls_scan`` (NaN energies after the early stop)."""
+    of ``_train_pls_scan`` (NaN energies after the early stop).
+    ``noise_scale`` overrides the Euler noise std sqrt(2 eta) — the
+    preconditioned discretisation passes sqrt(1 - e^{-2 eta})."""
     m, j = w0.shape
+    if noise_scale is None:
+        noise_scale = jnp.sqrt(2.0 * jnp.asarray(eta, dtype=jnp.float32))
     scalars = jnp.stack(
         [
             jnp.asarray(seed, dtype=jnp.float32),
             jnp.asarray(eta, dtype=jnp.float32),
             jnp.asarray(patience, dtype=jnp.float32),
             jnp.asarray(energy_const, dtype=jnp.float32),
+            jnp.asarray(noise_scale, dtype=jnp.float32),
         ]
     )[None, :]
     col = lambda v: v.astype(jnp.float32)[:, None]

@@ -42,9 +42,12 @@ def parallel_train_pls(
     early_stopper_patience: float = float("inf"),
     key: KeyArray | int | None = None,
     fast_path: str = "auto",
+    discretisation: str = "euler",
 ) -> TrainResult:
     """Sharded-train: particles distributed over the mesh's particle axis,
-    everything else replicated; same semantics as ``training.train_pls``."""
+    everything else replicated; same semantics as ``training.train_pls``.
+    ``discretisation`` as in ``train_pls`` (ONB-native for the non-Euler
+    schemes — wrap an IPB model in ``training.ipb_w_space_view`` first)."""
     if cost is None:  # called with a PLS facade
         basis, cost = pls_or_basis.basis, pls_or_basis.cost
     else:
@@ -54,14 +57,36 @@ def parallel_train_pls(
     particles = jax.device_put(particles, particle_sharding)
     basis = jax.device_put(basis, replicated)
     cost = jax.device_put(cost, replicated)
-    tier = resolve_fast_path(
-        basis,
-        cost,
-        fast_path,
-        particles_bytes=particles.dtype.itemsize * particles.size,
-    )
+    if discretisation == "euler":
+        tier = resolve_fast_path(
+            basis,
+            cost,
+            fast_path,
+            particles_bytes=particles.dtype.itemsize * particles.size,
+        )
+    else:
+        # mirror train_pls's non-Euler tier resolution (auto -> spectral for
+        # Gaussian-identity preconditioned, else the general path)
+        from projected_langevin_sampling_tpu.training import (
+            spectral_fast_path_available,
+        )
+
+        if fast_path == "auto":
+            tier = (
+                "spectral"
+                if discretisation == "preconditioned"
+                and spectral_fast_path_available(basis, cost)
+                else "off"
+            )
+        else:
+            tier = resolve_fast_path(
+                basis,
+                cost,
+                fast_path,
+                particles_bytes=particles.dtype.itemsize * particles.size,
+            )
     spectral_system = (
-        jax.device_put(spectral_system_host(basis, cost), replicated)
+        jax.device_put(spectral_system_host(basis, cost, discretisation), replicated)
         if tier in ("spectral", "spectral_fused")
         else None
     )
@@ -75,4 +100,5 @@ def parallel_train_pls(
         int(number_of_epochs),
         tier,
         spectral_system,
+        discretisation,
     )

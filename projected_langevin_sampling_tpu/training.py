@@ -75,7 +75,13 @@ def spectral_fast_path_available(basis, cost) -> bool:
     SAME matrix (E = Kzz⁻¹PKzz⁻¹ ⇒ SᵀES = S⁻¹PS⁻ᵀ) with e_bias mapping to
     b_w. So in W space IPB+Gaussian is the ONB shared case and the
     elementwise spectral recurrence applies verbatim. S is the eigh PSD
-    sqrt — the exact factor the basis's update noise already uses."""
+    sqrt — the exact factor the basis's update noise already uses.
+
+    Conditioning assumption (IPB): the similarity transform is exact only
+    while k(Z,Z)'s eigenvalues stay above eps*lam_max; below that,
+    ``spectral_system_host`` clamps them (and warns) and the spectral law
+    can deviate from the quadratic/general tiers beyond fp noise — prefer
+    fast_path='quadratic' on such grams."""
     from projected_langevin_sampling_tpu.models.basis.inducing_point import (
         InducingPointBasis,
     )
@@ -231,10 +237,11 @@ class SpectralSystem(NamedTuple):
     e_const: Array  # scalar energy constant
 
 
-def _spectral_system(basis, cost):
+def _spectral_system(basis, cost, discretisation: str = "euler"):
     """Diagonalise the OU drift; returns a ``SpectralSystem``.
 
-    In rotated coordinates V the update is elementwise:
+    ``discretisation="euler"`` (the reference's explicit scheme):
+    in rotated coordinates V the update is elementwise:
         V' = (1 - eta sigma) V + eta b_rot + sqrt(2 eta) eps,  eps iid
     and the energy is 0.5 sum sigma V^2 - b_rot . V + const. The
     factorisations run once per compiled call.
@@ -243,6 +250,15 @@ def _spectral_system(basis, cost):
     IPB: W = L^{-1} U (Kzz = L L^T) symmetrises the drift and whitens the
     noise; eigh(L^{-1} A L) then diagonalises. Energy matrix and bias map to
     the same (sigma, b_rot) — the shared elementwise energy formula holds.
+
+    ``discretisation="preconditioned"`` (ONB only; see ``train_pls``): the
+    Lambda-preconditioned chain U' = e^{-eta}(U - eta Lambda (A_d U - b))
+    + sqrt(lambda(1-e^{-2eta})) eps is diagonalised by the SYMMETRIC
+    data-curvature matrix C = Lambda^{1/2} A_d Lambda^{1/2} = Q S Q^T:
+    W = Q^T Lambda^{-1/2} U has iid noise (cov (1-e^{-2eta}) I) and the
+    elementwise recurrence W' = e^{-eta}((1-eta s) W + eta b_rot) + noise.
+    The stored ``sigma`` is the DATA-ONLY spectrum s; the energy quadratic
+    in W coordinates is 0.5 sum (s+1) W^2 - b_rot . W + const.
 
     NOTE: under jit on the TPU eigh runs in reduced device precision
     (~1e-7 reconstruction error even on f64 inputs — a chip quirk). The
@@ -254,6 +270,28 @@ def _spectral_system(basis, cost):
     from projected_langevin_sampling_tpu.models.basis.orthonormal import (
         OrthonormalBasis,
     )
+
+    if discretisation == "preconditioned":
+        if not isinstance(basis, OrthonormalBasis):
+            raise ValueError(
+                "preconditioned spectral system requires the ONB basis "
+                "(route IPB through its W-space ONB view first)"
+            )
+        p = basis.train_projection
+        y = cost.y_train
+        s_noise = cost.observation_noise
+        lam = basis.eigenvalues
+        root_lam = jnp.sqrt(lam)
+        # C = Lam^{1/2} (P^T P / s) Lam^{1/2} == (P Lam^{1/2})^T (P Lam^{1/2}) / s
+        p_half = p * root_lam[None, :]
+        c = (p_half.T @ p_half) / s_noise
+        sigma, q = jnp.linalg.eigh(c)
+        b = p.T @ y / s_noise
+        b_rot = q.T @ (root_lam * b)
+        q_in = (1.0 / root_lam)[:, None] * q  # W = q_in^T U
+        q_out = root_lam[:, None] * q  # U = q_out W
+        e_const = 0.5 * (y @ y) / s_noise
+        return SpectralSystem(sigma, q_in, q_out, b_rot, e_const)
 
     a, b, _, _, e_const, _ = _quadratic_system(basis, cost)
     if isinstance(basis, OrthonormalBasis):
@@ -277,7 +315,7 @@ def _spectral_system(basis, cost):
     return SpectralSystem(sigma, q_in, q_out, b_rot, e_const)
 
 
-def spectral_system_host(basis, cost):
+def spectral_system_host(basis, cost, discretisation: str = "euler"):
     """Eager (outside-jit) spectral system with the factorisations in HOST
     float64.
 
@@ -287,12 +325,43 @@ def spectral_system_host(basis, cost):
     sidesteps the TPU's reduced-precision device eigh: the N-sized
     contraction runs on-device once, the (M, M) matrix moves to host, numpy
     factorises it in fp64, and the factors come back in the working dtype.
-    Must be called OUTSIDE jit."""
+    Must be called OUTSIDE jit.
+
+    ``discretisation="preconditioned"``: the Lambda-preconditioned system
+    (ONB only) — see ``_spectral_system``."""
     import numpy as np
 
     from projected_langevin_sampling_tpu.models.basis.orthonormal import (
         OrthonormalBasis,
     )
+
+    if discretisation == "preconditioned":
+        if not isinstance(basis, OrthonormalBasis):
+            raise ValueError(
+                "preconditioned spectral system requires the ONB basis "
+                "(route IPB through its W-space ONB view first)"
+            )
+        dtype = basis.train_projection.dtype
+        p64 = np.asarray(jax.device_get(basis.train_projection), dtype=np.float64)
+        y64 = np.asarray(jax.device_get(cost.y_train), dtype=np.float64)
+        s_noise = float(jax.device_get(cost.observation_noise))
+        lam64 = np.asarray(jax.device_get(basis.eigenvalues), dtype=np.float64)
+        root_lam = np.sqrt(lam64)
+        p_half = p64 * root_lam[None, :]
+        c = (p_half.T @ p_half) / s_noise
+        sigma64, q64 = np.linalg.eigh(c)
+        b64 = p64.T @ y64 / s_noise
+        b_rot64 = q64.T @ (root_lam * b64)
+        q_in64 = (1.0 / root_lam)[:, None] * q64
+        q_out64 = root_lam[:, None] * q64
+        e_const64 = 0.5 * (y64 @ y64) / s_noise
+        return SpectralSystem(
+            jnp.asarray(sigma64, dtype=dtype),
+            jnp.asarray(q_in64, dtype=dtype),
+            jnp.asarray(q_out64, dtype=dtype),
+            jnp.asarray(b_rot64, dtype=dtype),
+            jnp.asarray(e_const64, dtype=dtype),
+        )
 
     a, b, _, _, e_const, _ = _quadratic_system(basis, cost)
     dtype = a.dtype
@@ -305,6 +374,7 @@ def spectral_system_host(basis, cost):
     else:
         kzz64 = np.asarray(jax.device_get(basis.base_gram_induce), dtype=np.float64)
         lam, v = np.linalg.eigh(kzz64)
+        clamped = int(np.sum(lam < np.finfo(np.float64).eps * lam[-1]))
         lam = np.maximum(lam, np.finfo(np.float64).eps * lam[-1])
         s64 = v * np.sqrt(lam)[None, :]
         s_inv64 = (1.0 / np.sqrt(lam))[:, None] * v.T
@@ -315,6 +385,18 @@ def spectral_system_host(basis, cost):
         b_rot64 = q64.T @ b_w
         q_in64 = s_inv64.T @ q64
         q_out64 = s64 @ q64
+        if clamped:
+            import warnings
+
+            warnings.warn(
+                "IPB spectral tier: k(Z,Z) eigenvalues were clamped "
+                f"({clamped} below eps*lam_max) — the W-space system is no "
+                "longer an exact similarity transform of the drift built from "
+                "the Cholesky inverse; the spectral law can deviate from the "
+                "quadratic/general tiers beyond fp noise on this "
+                "ill-conditioned gram. Consider fast_path='quadratic'.",
+                stacklevel=2,
+            )
     return SpectralSystem(
         jnp.asarray(sigma64, dtype=dtype),
         jnp.asarray(q_in64, dtype=dtype),
@@ -322,6 +404,59 @@ def spectral_system_host(basis, cost):
         jnp.asarray(b_rot64, dtype=dtype),
         jnp.asarray(e_const, dtype=dtype),
     )
+
+
+def ipb_w_space_view(basis):
+    """ONB-shaped view of the IPB training process, with entry/exit maps.
+
+    The reference's IPB process (``inducing_point.py:117-150``) is the
+    Kzz-PRECONDITIONED Langevin of E(U) = cost(P U) + (M/2)||Kzz^{-1}U||^2.
+    The change of variables W = S^{-1} U with the eigh PSD sqrt
+    S = V diag(sqrt(M lam_hat)) (eigh((1/M)Kzz) = (lam_hat, V) — the exact
+    factor the basis's update noise uses) maps it to the STANDARD Langevin of
+    an ONB-shaped potential:
+
+        pred   = P_w W,  P_w = k(X,Z) V / sqrt(M lam_hat)
+        prior  = 0.5 sum_i W_i^2 / lam_hat_i      (diagonal, == ONB energy)
+        noise  = iid N(0, I)                       (S^{-1} N(0, Kzz) = iid)
+        E_w(W) = E(S W)  — energies are IDENTICAL, so early stopping matches.
+
+    The Euler chains correspond EXACTLY: U_t = S W_t for the same iid draws
+    (the IPB update noise is S z with the same z). This view therefore
+    extends every ONB-only training path — the fused general kernel and the
+    exponential / preconditioned discretisations — to the IPB basis.
+
+    Returns ``(onb_view, s, s_inv)`` with W0 = s_inv @ U0 and U = s @ W.
+    Factorisations in host fp64 (the TPU device eigh is reduced-precision).
+    """
+    import numpy as np
+
+    from projected_langevin_sampling_tpu.models.basis.orthonormal import (
+        OrthonormalBasis,
+    )
+
+    dtype = basis.base_gram_induce.dtype
+    kzz64 = np.asarray(jax.device_get(basis.base_gram_induce), dtype=np.float64)
+    m = kzz64.shape[0]
+    lam_hat, v = np.linalg.eigh(kzz64 / m)
+    lam_hat = np.maximum(lam_hat, np.finfo(np.float64).eps * lam_hat[-1])
+    root = np.sqrt(m * lam_hat)
+    scaled_eigenvectors = v / root[None, :]  # == reference scaling with M_k = M
+    kzx64 = np.asarray(jax.device_get(basis.base_gram_induce_train), dtype=np.float64)
+    train_projection = kzx64.T @ scaled_eigenvectors
+    s = v * root[None, :]
+    s_inv = (1.0 / root)[:, None] * v.T
+    view = OrthonormalBasis(
+        kernel=basis.kernel,
+        x_induce=basis.x_induce,
+        eigenvalues=jnp.asarray(lam_hat, dtype=dtype),
+        scaled_eigenvectors=jnp.asarray(scaled_eigenvectors, dtype=dtype),
+        base_gram_induce_train=basis.base_gram_induce_train,
+        train_projection=jnp.asarray(train_projection, dtype=dtype),
+        additional_predictive_noise_distribution=None,
+        scaling="reference",
+    )
+    return view, jnp.asarray(s, dtype=dtype), jnp.asarray(s_inv, dtype=dtype)
 
 
 def _replay_early_stopper(energies: Array, step_size, patience):
@@ -428,8 +563,24 @@ def _train_pls_scan(
     tier = resolve_fast_path(
         basis, cost, fast_path, particles_bytes=particles.dtype.itemsize * particles.size
     )
+    if discretisation not in ("euler", "exponential", "preconditioned"):
+        raise ValueError(f"Unknown discretisation {discretisation!r}")
+    if discretisation != "euler":
+        # tiers implementing each non-Euler recurrence (direct-caller guard;
+        # ``train_pls`` resolves to a valid tier before calling here)
+        allowed = {
+            "exponential": ("off", "general_fused"),
+            "preconditioned": ("off", "general_fused", "spectral", "spectral_fused"),
+        }[discretisation]
+        if tier not in allowed:
+            raise ValueError(
+                f"discretisation={discretisation!r} is not implemented for the "
+                f"{tier!r} tier (allowed: {allowed})"
+            )
     spectral = lambda: (
-        spectral_system if spectral_system is not None else _spectral_system(basis, cost)
+        spectral_system
+        if spectral_system is not None
+        else _spectral_system(basis, cost, discretisation)
     )
 
     if tier == "spectral_fused":
@@ -440,20 +591,30 @@ def _train_pls_scan(
         )
 
         sigma, q_in, q_out, b_rot, e_const = spectral()
-        decay = 1.0 - step_size * sigma
-        shift = step_size * b_rot
+        if discretisation == "preconditioned":
+            exp_decay = jnp.exp(-step_size)
+            decay = exp_decay * (1.0 - step_size * sigma)
+            shift = exp_decay * step_size * b_rot
+            noise_scale = jnp.sqrt(-jnp.expm1(-2.0 * step_size))
+            energy_sigma = sigma + 1.0
+        else:
+            decay = 1.0 - step_size * sigma
+            shift = step_size * b_rot
+            noise_scale = jnp.sqrt(2.0 * step_size)
+            energy_sigma = sigma
         seed = jax.random.randint(key, (), 0, 2**31 - 1)
         w_final, energies = spectral_train_fused(
             (q_in.T @ particles),
             decay,
             shift,
-            sigma,
+            energy_sigma,
             b_rot,
             seed=seed,
             eta=step_size,
             patience=patience,
             energy_const=e_const,
             num_steps=number_of_epochs,
+            noise_scale=noise_scale,
         )
         energies = energies.astype(dtype)
         recorded, steps_run = _replay_early_stopper(energies, step_size, patience)
@@ -482,6 +643,7 @@ def _train_pls_scan(
             num_steps=number_of_epochs,
             cost_param0=p0,
             cost_param1=p1,
+            discretisation=discretisation,
         )
         energies = energies.astype(dtype)
         recorded, steps_run = _replay_early_stopper(energies, step_size, patience)
@@ -511,14 +673,23 @@ def _train_pls_scan(
 
     if tier == "spectral":
         sigma, q_in, q_out, b_rot, e_const = spectral()
-        decay = 1.0 - step_size * sigma  # (M,)
-        shift = step_size * b_rot  # (M,)
+        if discretisation == "preconditioned":
+            exp_decay = jnp.exp(-step_size)
+            decay = exp_decay * (1.0 - step_size * sigma)  # (M,)
+            shift = exp_decay * step_size * b_rot  # (M,)
+            noise_scale = jnp.sqrt(-jnp.expm1(-2.0 * step_size))
+            energy_sigma = sigma + 1.0
+        else:
+            decay = 1.0 - step_size * sigma  # (M,)
+            shift = step_size * b_rot  # (M,)
+            noise_scale = root2eta
+            energy_sigma = sigma
 
         def spectral_step(w, key_t):
             noise = jax.random.normal(key_t, w.shape, dtype=dtype)
-            w_new = decay[:, None] * w + shift[:, None] + root2eta * noise
+            w_new = decay[:, None] * w + shift[:, None] + noise_scale * noise
             energy_j = (
-                0.5 * jnp.sum(sigma[:, None] * jnp.square(w_new), axis=0)
+                0.5 * jnp.sum(energy_sigma[:, None] * jnp.square(w_new), axis=0)
                 - b_rot @ w_new
                 + e_const
             )
@@ -566,11 +737,13 @@ def _train_pls_scan(
         if not isinstance(basis, OrthonormalBasis):
             raise ValueError(
                 "discretisation='exponential' requires the ONB basis "
-                "(diagonal prior precision, iid update noise)"
+                "(diagonal prior precision, iid update noise; route IPB "
+                "through training.ipb_w_space_view)"
             )
         lam = basis.eigenvalues.astype(dtype)
         exp_decay = jnp.exp(-step_size / lam)[:, None]
-        exp_noise = jnp.sqrt(lam * (1.0 - jnp.exp(-2.0 * step_size / lam)))[:, None]
+        # -expm1(-x) == 1 - exp(-x) without the cancellation when eta << lam
+        exp_noise = jnp.sqrt(lam * -jnp.expm1(-2.0 * step_size / lam))[:, None]
 
         def general_step(carry, key_t):
             u, pred = carry
@@ -579,6 +752,50 @@ def _train_pls_scan(
             u_new = (
                 exp_decay * (u - step_size * (basis.train_projection.T @ dc))
                 + exp_noise * eps
+            )
+            pred_new = basis.calculate_untransformed_train_prediction_samples(u_new)
+            energy = basis.calculate_energy_potential(
+                u_new, cost.calculate_cost(pred_new)
+            )
+            return (u_new, pred_new), energy
+
+        pred0 = basis.calculate_untransformed_train_prediction_samples(particles)
+        step_fn, carry0, finish = general_step, (particles, pred0), lambda c: c[0]
+    elif discretisation == "preconditioned":
+        # Lambda-preconditioned (Riemannian) Langevin with exact OU prior
+        # sub-step (opt-in, ONB only — IPB routes through its W-space view):
+        #     dU = -Lambda grad E dt + sqrt(2 Lambda) dW
+        # has the SAME stationary density exp(-E) for any constant SPD
+        # preconditioner. Splitting: explicit data sub-step
+        #     U -> U - eta Lambda B^T dc(B U)
+        # then the prior+noise flow dU = -U dt + sqrt(2 Lambda) dW EXACTLY:
+        #     U -> e^{-eta} U + sqrt(lambda (1 - e^{-2 eta})) eps.
+        # Prior stiffness becomes 1 (unconditional); the data sub-step's
+        # curvature is Lambda^{1/2} B^T H B Lambda^{1/2} — under the nystrom
+        # scaling B Lambda^{1/2} == the REFERENCE-scaled projection (up to
+        # sqrt(M_k/M)), so the reference protocol's step grid is stable
+        # again. This is the stable data-term discretisation that makes the
+        # nystrom scaling usable for non-Gaussian costs (DESIGN.md §4).
+        from projected_langevin_sampling_tpu.models.basis.orthonormal import (
+            OrthonormalBasis,
+        )
+
+        if not isinstance(basis, OrthonormalBasis):
+            raise ValueError(
+                "discretisation='preconditioned' requires the ONB basis "
+                "(route IPB through training.ipb_w_space_view)"
+            )
+        lam = basis.eigenvalues.astype(dtype)[:, None]
+        exp_decay = jnp.exp(-step_size)
+        pre_noise = jnp.sqrt(lam * -jnp.expm1(-2.0 * step_size))
+
+        def general_step(carry, key_t):
+            u, pred = carry
+            dc = cost.calculate_cost_derivative(pred)
+            eps = jax.random.normal(key_t, u.shape, dtype=dtype)
+            u_new = (
+                exp_decay * (u - step_size * (lam * (basis.train_projection.T @ dc)))
+                + pre_noise * eps
             )
             pred_new = basis.calculate_untransformed_train_prediction_samples(u_new)
             energy = basis.calculate_energy_potential(
@@ -654,35 +871,87 @@ def train_pls(
     reference ``experiments/trainers.py:139-162``. ``fast_path`` selects the
     algebraic specialisation tier (see ``resolve_fast_path``).
 
-    ``discretisation``: "euler" (the reference's explicit scheme) or
-    "exponential" (opt-in, ONB only) — OU-splitting that integrates the
-    prior drift + its noise share exactly, removing the 2*lambda_min
-    stability bound. Runs the general N-space path (the fast-path tiers
-    implement the Euler recursion)."""
+    ``discretisation``:
+      "euler"          — the reference's explicit scheme (default). All tiers.
+      "exponential"    — OU-splitting that integrates the prior drift + its
+                         noise share exactly, removing the 2*lambda_min prior
+                         stability bound. Tiers: off, general_fused.
+      "preconditioned" — Lambda-preconditioned Langevin (same stationary
+                         posterior; constant-metric Riemannian Langevin) with
+                         the exact OU prior sub-step: prior stiffness -> 1 AND
+                         the data-term curvature is damped by Lambda^{1/2} on
+                         each side — the stable discretisation for the
+                         nystrom ONB scaling under non-Gaussian costs
+                         (DESIGN.md §4). Tiers: off, general_fused, spectral,
+                         spectral_fused (Gaussian-identity costs stay
+                         elementwise-fast).
+    Both non-Euler schemes are ONB-native; an IPB model is routed through its
+    exact W-space ONB view (``ipb_w_space_view`` — identical energies, exact
+    Euler-trajectory correspondence U = S W)."""
+    from projected_langevin_sampling_tpu.models.basis.inducing_point import (
+        InducingPointBasis,
+    )
+
     if key is None and seed is not None:
         key = seed
-    if discretisation not in ("euler", "exponential"):
+    if discretisation not in ("euler", "exponential", "preconditioned"):
         raise ValueError(f"Unknown discretisation {discretisation!r}")
-    tier = (
-        "off"
-        if discretisation == "exponential"
-        else resolve_fast_path(
-            pls.basis,
-            pls.cost,
+
+    basis, cost = pls.basis, pls.cost
+    exit_map = None
+    if isinstance(basis, InducingPointBasis) and (
+        discretisation != "euler" or fast_path == "general_fused"
+    ):
+        # the W-space ONB view extends the ONB-only paths (fused general
+        # kernel, non-Euler discretisations) to IPB — exact Euler-trajectory
+        # correspondence U = S W, identical energies
+        view, s_mat, s_inv = ipb_w_space_view(basis)
+        basis = view
+        particles = s_inv @ particles
+        exit_map = lambda u: s_mat @ u
+
+    if discretisation == "euler":
+        tier = resolve_fast_path(
+            basis,
+            cost,
             fast_path,
             particles_bytes=particles.dtype.itemsize * particles.size,
         )
-    )
+    else:
+        allowed = {
+            "exponential": ("off", "general_fused"),
+            "preconditioned": ("off", "general_fused", "spectral", "spectral_fused"),
+        }[discretisation]
+        if fast_path == "auto":
+            tier = (
+                "spectral"
+                if discretisation == "preconditioned"
+                and spectral_fast_path_available(basis, cost)
+                else "off"
+            )
+        elif fast_path in allowed:
+            # general_fused may still fall back to "off" on cost/VMEM limits
+            tier = resolve_fast_path(
+                basis,
+                cost,
+                fast_path,
+                particles_bytes=particles.dtype.itemsize * particles.size,
+            )
+        else:
+            raise ValueError(
+                f"fast_path={fast_path!r} does not implement "
+                f"discretisation={discretisation!r} (allowed: {allowed} or 'auto')"
+            )
     # the spectral factorisation is hoisted out of jit so the eigh runs in
     # host fp64 (the TPU's device eigh is reduced-precision)
     spectral_system = (
-        spectral_system_host(pls.basis, pls.cost)
+        spectral_system_host(basis, cost, discretisation)
         if tier in ("spectral", "spectral_fused")
         else None
     )
     result = _train_pls_scan(
-        pls.basis,
-        pls.cost,
+        basis,
+        cost,
         particles,
         as_key(key),
         step_size,
@@ -692,13 +961,14 @@ def train_pls(
         spectral_system,
         discretisation,
     )
+    out_particles = result.particles if exit_map is None else exit_map(result.particles)
     energies = [
         float(e) for e, r in zip(result.energies.tolist(), result.recorded.tolist()) if r
     ]
-    return result.particles, energies
+    return out_particles, energies
 
 
-@functools.partial(jax.jit, static_argnames=("n_steps", "fast_path"))
+@functools.partial(jax.jit, static_argnames=("n_steps", "fast_path", "discretisation"))
 def langevin_steps(
     basis,
     cost,
@@ -708,9 +978,13 @@ def langevin_steps(
     n_steps: int,
     fast_path: str = "auto",
     spectral_system=None,
+    discretisation: str = "euler",
 ) -> Array:
     """Throughput path: n_steps Langevin updates, no energy evaluation, no
-    early stopping. Fast-path tiers as in ``resolve_fast_path``."""
+    early stopping. Fast-path tiers as in ``resolve_fast_path``;
+    ``discretisation`` as in ``train_pls`` (ONB-native — pass an IPB model's
+    ``ipb_w_space_view`` for non-Euler schemes; this function is jitted so
+    the host-side view construction cannot happen here)."""
     dtype = particles.dtype
     step_size = jnp.asarray(step_size, dtype=dtype)
     keys = jax.random.split(key, n_steps)
@@ -718,8 +992,17 @@ def langevin_steps(
     tier = resolve_fast_path(
         basis, cost, fast_path, particles_bytes=particles.dtype.itemsize * particles.size
     )
+    if discretisation != "euler":
+        allowed = {
+            "exponential": ("off", "general_fused"),
+            "preconditioned": ("off", "general_fused", "spectral", "spectral_fused"),
+        }[discretisation]
+        if tier not in allowed:
+            tier = "off"
     spectral = lambda: (
-        spectral_system if spectral_system is not None else _spectral_system(basis, cost)
+        spectral_system
+        if spectral_system is not None
+        else _spectral_system(basis, cost, discretisation)
     )
 
     if tier == "spectral_fused":
@@ -728,11 +1011,20 @@ def langevin_steps(
         )
 
         sigma, q_in, q_out, b_rot, e_const = spectral()
+        if discretisation == "preconditioned":
+            exp_decay = jnp.exp(-step_size)
+            decay = exp_decay * (1.0 - step_size * sigma)
+            shift = exp_decay * step_size * b_rot
+            noise_scale = jnp.sqrt(-jnp.expm1(-2.0 * step_size))
+        else:
+            decay = 1.0 - step_size * sigma
+            shift = step_size * b_rot
+            noise_scale = jnp.sqrt(2.0 * step_size)
         seed = jax.random.randint(key, (), 0, 2**31 - 1)
         w_final, _ = spectral_train_fused(
             q_in.T @ particles,
-            1.0 - step_size * sigma,
-            step_size * b_rot,
+            decay,
+            shift,
             sigma,
             b_rot,
             seed=seed,
@@ -740,6 +1032,7 @@ def langevin_steps(
             patience=jnp.inf,
             energy_const=e_const,
             num_steps=n_steps,
+            noise_scale=noise_scale,
         )
         return q_out @ w_final.astype(dtype)
 
@@ -762,17 +1055,25 @@ def langevin_steps(
             num_steps=n_steps,
             cost_param0=p0,
             cost_param1=p1,
+            discretisation=discretisation,
         )
         return u_final.astype(dtype)
 
     if tier == "spectral":
         sigma, q_in, q_out, b_rot, _ = spectral()
-        decay = 1.0 - step_size * sigma
-        shift = step_size * b_rot
+        if discretisation == "preconditioned":
+            exp_decay = jnp.exp(-step_size)
+            decay = exp_decay * (1.0 - step_size * sigma)
+            shift = exp_decay * step_size * b_rot
+            noise_scale = jnp.sqrt(-jnp.expm1(-2.0 * step_size))
+        else:
+            decay = 1.0 - step_size * sigma
+            shift = step_size * b_rot
+            noise_scale = root2eta
 
         def spectral_body(w, key_t):
             noise = jax.random.normal(key_t, w.shape, dtype=dtype)
-            return decay[:, None] * w + shift[:, None] + root2eta * noise, None
+            return decay[:, None] * w + shift[:, None] + noise_scale * noise, None
 
         final_w, _ = jax.lax.scan(spectral_body, q_in.T @ particles, keys)
         return q_out @ final_w
@@ -804,6 +1105,39 @@ def langevin_steps(
             return u - step_size * drift + root2eta * noise, None
 
         final, _ = jax.lax.scan(fast_body, particles, keys)
+        return final
+
+    if discretisation != "euler":
+        from projected_langevin_sampling_tpu.models.basis.orthonormal import (
+            OrthonormalBasis,
+        )
+
+        if not isinstance(basis, OrthonormalBasis):
+            raise ValueError(
+                f"discretisation={discretisation!r} requires the ONB basis "
+                "(pass training.ipb_w_space_view for IPB)"
+            )
+        lam = basis.eigenvalues.astype(dtype)[:, None]
+        if discretisation == "exponential":
+            dec = jnp.exp(-step_size / lam)
+            nscale = jnp.sqrt(lam * -jnp.expm1(-2.0 * step_size / lam))
+            dscale = jnp.ones_like(lam)
+        else:  # preconditioned
+            dec = jnp.full_like(lam, jnp.exp(-step_size))
+            nscale = jnp.sqrt(lam * -jnp.expm1(-2.0 * step_size))
+            dscale = lam
+
+        def split_body(u, key_t):
+            pred = basis.calculate_untransformed_train_prediction_samples(u)
+            dc = cost.calculate_cost_derivative(pred)
+            eps = jax.random.normal(key_t, u.shape, dtype=dtype)
+            u_new = (
+                dec * (u - step_size * (dscale * (basis.train_projection.T @ dc)))
+                + nscale * eps
+            )
+            return u_new, None
+
+        final, _ = jax.lax.scan(split_body, particles, keys)
         return final
 
     def body(u, key_t):

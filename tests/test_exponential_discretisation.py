@@ -118,7 +118,9 @@ def test_exponential_agrees_with_euler_at_small_steps_bernoulli():
     np.testing.assert_allclose(prob_e, prob_x, atol=0.12)
 
 
-def test_exponential_rejects_ipb():
+def test_exponential_ipb_routes_through_w_view():
+    """IPB + exponential runs via the W-space ONB view (``ipb_w_space_view``)
+    and converges — round 2 raised here; the view removed that limitation."""
     rng = np.random.default_rng(0)
     x = jnp.asarray(np.sort(rng.uniform(-2, 2, (40, 1)), axis=0))
     y = jnp.asarray(np.sin(2 * np.asarray(x)[:, 0]))
@@ -128,6 +130,10 @@ def test_exponential_rejects_ipb():
     basis = build_inducing_point_basis(pls_kernel, z, jnp.sin(2 * z[:, 0]), x)
     cost = GaussianCost(observation_noise=jnp.asarray(0.04), y_train=y)
     pls = PLS(basis=basis, cost=cost)
-    particles = pls.initialise_particles(16, seed=0)
-    with pytest.raises(ValueError):
-        train_pls(pls, particles, 10, 1e-4, key=1, discretisation="exponential")
+    particles = pls.initialise_particles(64, seed=0)
+    trained, energies = train_pls(
+        pls, particles, 2000, 1e-3, key=1, discretisation="exponential"
+    )
+    assert trained.shape == particles.shape
+    assert bool(jnp.isfinite(trained).all())
+    assert energies[-1] < energies[0]

@@ -187,3 +187,38 @@ def test_energy_matches_single_device_definition_ipb():
     pls = PLS(basis=basis, cost=cost)
     expected = float(pls.calculate_energy_potential(jnp.asarray(np.asarray(final))))
     assert float(energies[0]) == pytest.approx(expected, rel=1e-8)
+
+
+def test_harness_parallel_config_routes_through_mesh():
+    """The experiment harness's ``pls.parallel`` config key (VERDICT r2 #5):
+    ``experiments.trainers.train_pls(parallel={...})`` must produce the SAME
+    particles and recorded energies as the single-device path for every
+    discretisation (GSPMD runs the identical program, so this is exact up to
+    reduction order)."""
+    from experiments.trainers import train_pls as harness_train_pls
+    from projected_langevin_sampling_tpu.models.pls import PLS
+
+    x, y, z, y_induce, kernel = _setup()
+    basis = build_orthonormal_basis(
+        kernel, z, x, eigenvalue_threshold=1e-2, verbose=False
+    )
+    cost = GaussianCost(y_train=y, observation_noise=jnp.asarray(SIGMA2))
+    pls = PLS(basis=basis, cost=cost)
+    particles = pls.initialise_particles(32, key=0)
+    for discretisation in ["euler", "preconditioned"]:
+        sharded_u, sharded_e = harness_train_pls(
+            pls, particles, number_of_epochs=20, step_size=1e-3,
+            early_stopper_patience=float("inf"), seed=3,
+            discretisation=discretisation,
+            parallel={"data": 2, "particles": 4},
+        )
+        single_u, single_e = harness_train_pls(
+            pls, particles, number_of_epochs=20, step_size=1e-3,
+            early_stopper_patience=float("inf"), seed=3,
+            discretisation=discretisation,
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded_u), np.asarray(single_u),
+            rtol=1e-8, atol=1e-10, err_msg=discretisation,
+        )
+        np.testing.assert_allclose(sharded_e, single_e, rtol=1e-8, atol=1e-10)
