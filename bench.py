@@ -95,7 +95,7 @@ def _flops_per_step(tier, m_k=M, n=N, j=J):
     return 0.0
 
 
-def _time_tier(basis, cost, tier, n_steps, reps=3):
+def _time_tier(basis, cost, tier, n_steps, reps=3, discretisation="euler"):
     import jax
 
     from projected_langevin_sampling_tpu.training import (
@@ -106,7 +106,7 @@ def _time_tier(basis, cost, tier, n_steps, reps=3):
     particles = basis.initialise_particles(J, key=0)
     key = jax.random.key(0)
     spec = (
-        spectral_system_host(basis, cost)
+        spectral_system_host(basis, cost, discretisation)
         if tier in ("spectral", "spectral_fused")
         else None
     )
@@ -114,7 +114,8 @@ def _time_tier(basis, cost, tier, n_steps, reps=3):
 
     def run():
         result = _train_pls_scan(
-            basis, cost, particles, key, 1e-4, patience, n_steps, tier, spec
+            basis, cost, particles, key, 1e-4, patience, n_steps, tier, spec,
+            discretisation,
         )
         jax.block_until_ready(result.particles)
 
@@ -144,8 +145,9 @@ def run_table():
     on_tpu = jax.default_backend() != "cpu"
 
     cells = [
-        # (cost, basis, tier, n_steps) — step counts sized so each rep runs
-        # seconds, amortising the ~35 ms tunnel dispatch latency
+        # (cost, basis, tier, n_steps[, discretisation]) — step counts sized
+        # so each rep runs seconds, amortising the ~35 ms tunnel dispatch
+        # latency
         ("gaussian", "onb", "off", 2000),
         ("gaussian", "onb", "quadratic", 10000),
         ("gaussian", "onb", "spectral", 20000),
@@ -158,11 +160,25 @@ def run_table():
         cells.insert(5, ("gaussian", "ipb", "quadratic_fused", 20000))
         cells.insert(7, ("gaussian", "ipb", "spectral_fused", 20000))
         cells.append(("bernoulli", "onb", "general_fused", 2000))
+        # round-3 compositions: the stable (preconditioned) discretisation
+        # in-kernel, and the IPB basis on the fused general path via its
+        # exact W-space ONB view (training.ipb_w_space_view)
+        cells.append(("bernoulli", "onb", "general_fused", 2000, "preconditioned"))
+        cells.append(("bernoulli", "ipb", "general_fused", 2000))
 
     rows = []
-    for cost_name, basis_kind, tier, n_steps in cells:
+    for cell in cells:
+        cost_name, basis_kind, tier, n_steps = cell[:4]
+        discretisation = cell[4] if len(cell) > 4 else "euler"
         basis, cost = build(cost_name=cost_name, basis_kind=basis_kind)
-        r = _time_tier(basis, cost, tier, n_steps)
+        if basis_kind == "ipb" and tier == "general_fused":
+            # the fused general kernel is ONB-native; run the IPB process in
+            # its exact W-space view (same energies, U = S W)
+            from projected_langevin_sampling_tpu.training import ipb_w_space_view
+
+            basis, _, _ = ipb_w_space_view(basis)
+        r = _time_tier(basis, cost, tier, n_steps, discretisation=discretisation)
+        r["discretisation"] = discretisation
         flops = _flops_per_step(tier)
         r.update(
             cost=cost_name,
@@ -174,8 +190,9 @@ def run_table():
             else None,
         )
         rows.append(r)
+        tier_label = tier + ("" if discretisation == "euler" else f"[{discretisation}]")
         print(
-            f"  {cost_name:9s} {basis_kind:3s} {tier:15s} {r['ms_per_step']:8.4f} ms/step "
+            f"  {cost_name:9s} {basis_kind:3s} {tier_label:24s} {r['ms_per_step']:8.4f} ms/step "
             f"{r['updates_per_sec']:10.1f} ups "
             f"{r['tflops_per_sec']:6.2f} TF/s"
             + (f"  MFU={100 * r['mfu_vs_roof']:.1f}%" if r["mfu_vs_roof"] else ""),

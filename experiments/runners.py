@@ -304,6 +304,16 @@ def train_pls_runner(
             min(energy_potentials) <= initial_energy
             and energy_potentials[-1] <= initial_energy
         )
+        print(
+            f"  [search {particle_name}] eta={float(step_size):.3e} "
+            f"epochs={number_of_epochs} recorded={len(energy_potentials)} "
+            f"E0={initial_energy:.4g} "
+            f"min={min(energy_potentials) if energy_potentials else float('nan'):.4g} "
+            f"last={energy_potentials[-1] if energy_potentials else float('nan'):.4g} "
+            f"diverged={diverged} "
+            f"finite={bool(jnp.isfinite(particles_i).all())}",
+            flush=True,
+        )
         if energy_potentials and not diverged and bool(jnp.isfinite(particles_i).all()):
             energy_potentials_history[float(step_size)] = energy_potentials
             prediction = pls.predict(

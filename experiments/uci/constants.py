@@ -198,8 +198,30 @@ class DiabetesSklearnDataset(Dataset):
     output_column_name = "target"
 
 
+class DigitsEvenDataset(Dataset):
+    # real UCI optical digits (1797 x 64, bundled with sklearn), binarised
+    # even-vs-odd so every sample is kept
+    input_column_names = [f"px{i}" for i in range(64)]
+    output_column_name = "target"
+
+
+class WineUCIDataset(Dataset):
+    # real UCI wine (178 x 13, bundled with sklearn), cultivar-1-vs-rest
+    input_column_names = [
+        "alcohol", "malic_acid", "ash", "alcalinity_of_ash", "magnesium",
+        "total_phenols", "flavanoids", "nonflavanoid_phenols",
+        "proanthocyanins", "color_intensity", "hue",
+        "od280_od315_of_diluted_wines", "proline",
+    ]
+    output_column_name = "target"
+
+
 EXTRA_REGRESSION_DATASETS = {"diabetes_sklearn": DiabetesSklearnDataset}
-EXTRA_CLASSIFICATION_DATASETS = {"breast_wdbc": BreastWDBCDataset}
+EXTRA_CLASSIFICATION_DATASETS = {
+    "breast_wdbc": BreastWDBCDataset,
+    "digits_even": DigitsEvenDataset,
+    "wine_uci": WineUCIDataset,
+}
 
 
 def resolve_schema(name: str) -> Dataset:

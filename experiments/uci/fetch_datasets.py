@@ -315,12 +315,18 @@ def write_sklearn_bundled(out_dir: str) -> None:
     on a zero-gradient plateau (exp(-d^2) with d^2 ~ 1e6). The experiment
     pipeline itself never rescales x (reference parity), so the extra real
     datasets ship pre-standardised."""
-    from sklearn.datasets import load_breast_cancer, load_diabetes
+    from sklearn.datasets import (
+        load_breast_cancer,
+        load_diabetes,
+        load_digits,
+        load_wine,
+    )
 
     def zscore(df, target):
         for c in df.columns:
             if c != target:
-                df[c] = (df[c] - df[c].mean()) / df[c].std()
+                std = df[c].std()
+                df[c] = (df[c] - df[c].mean()) / (std if std > 0 else 1.0)
         return df
 
     os.makedirs(out_dir, exist_ok=True)
@@ -331,9 +337,25 @@ def write_sklearn_bundled(out_dir: str) -> None:
     zscore(diab, "target").to_csv(
         os.path.join(out_dir, "diabetes_sklearn.csv"), index=False
     )
+    # real UCI optical digits (1797 x 64), binarised even-vs-odd — a standard
+    # binary reduction that keeps every sample
+    digits = load_digits()
+    import pandas as pd
+
+    ddf = pd.DataFrame(
+        digits.data, columns=[f"px{i}" for i in range(digits.data.shape[1])]
+    )
+    ddf["target"] = (digits.target % 2 == 0).astype(int)
+    zscore(ddf, "target").to_csv(os.path.join(out_dir, "digits_even.csv"), index=False)
+    # real UCI wine (178 x 13), binarised cultivar-1-vs-rest
+    wine = load_wine(as_frame=True).frame
+    wine.columns = [c.replace("/", "_").replace(" ", "_") for c in wine.columns]
+    wine["target"] = (wine["target"] == 0).astype(int)
+    zscore(wine, "target").to_csv(os.path.join(out_dir, "wine_uci.csv"), index=False)
     print(f"wrote breast_wdbc.csv ({len(wdbc)} rows), diabetes_sklearn.csv "
-          f"({len(diab)} rows) to {out_dir} [REAL sklearn-bundled UCI data, "
-          "z-scored features]")
+          f"({len(diab)} rows), digits_even.csv ({len(ddf)} rows), "
+          f"wine_uci.csv ({len(wine)} rows) to {out_dir} "
+          "[REAL sklearn-bundled UCI data, z-scored features]")
 
 
 def main() -> int:

@@ -68,7 +68,13 @@ def _tile_cost_and_dc(kind: str, f, y, valid, p0, p1):
         cost = (0.5 / p0) * jnp.square(err)
         dc = err / p0
     elif kind == "bernoulli_sigmoid":
-        p = jnp.clip(jax.nn.sigmoid(f), _SIGMOID_JITTER, 1.0 - _SIGMOID_JITTER)
+        # dtype-aware jitter floor: in the kernel's f32, 1 - 1e-10 rounds to
+        # 1.0 and a saturated sigmoid would give log(0) = -inf (see
+        # link_functions._probability_clip — same fix)
+        jit = jnp.maximum(
+            jnp.asarray(_SIGMOID_JITTER, f.dtype), jnp.finfo(f.dtype).eps
+        )
+        p = jnp.clip(jax.nn.sigmoid(f), jit, 1.0 - jit)
         cost = -(y * jnp.log(p) + (1.0 - y) * jnp.log(1.0 - p))
         dc = p - y
     elif kind == "poisson_square":

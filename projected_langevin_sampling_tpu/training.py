@@ -16,6 +16,7 @@ compiled program across all candidates.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -554,7 +555,12 @@ def _train_pls_scan(
     fast_path: str = "auto",
     spectral_system=None,
     discretisation: str = "euler",
+    stopper_init=None,
 ) -> TrainResult:
+    """``stopper_init``: optional (min_loss, sim_time, stopped) carry for the
+    chunked driver (``train_pls`` splits very long runs into bounded device
+    programs — a single 1e7-step scan can outlive the TPU tunnel's patience);
+    only the XLA-scan tiers support it."""
     dtype = particles.dtype
     step_size = jnp.asarray(step_size, dtype=dtype)
     patience = jnp.asarray(patience, dtype=dtype)
@@ -577,6 +583,11 @@ def _train_pls_scan(
                 f"discretisation={discretisation!r} is not implemented for the "
                 f"{tier!r} tier (allowed: {allowed})"
             )
+    if stopper_init is not None and tier.endswith("_fused"):
+        raise ValueError(
+            "stopper_init (chunked driver) is only supported on the XLA-scan "
+            f"tiers, not {tier!r} (the fused kernels run whole-trajectory)"
+        )
     spectral = lambda: (
         spectral_system
         if spectral_system is not None
@@ -843,17 +854,114 @@ def _train_pls_scan(
             recorded,
         )
 
+    if stopper_init is None:
+        min_loss0 = jnp.asarray(jnp.inf, dtype=dtype)
+        sim_time0 = jnp.asarray(0.0, dtype=dtype)
+        stopped0 = jnp.asarray(False)
+    else:
+        min_loss0, sim_time0, stopped0 = (
+            jnp.asarray(stopper_init[0], dtype=dtype),
+            jnp.asarray(stopper_init[1], dtype=dtype),
+            jnp.asarray(stopper_init[2], dtype=bool),
+        )
     init = (
         carry0,
-        jnp.asarray(jnp.inf, dtype=dtype),
-        jnp.asarray(0.0, dtype=dtype),
-        jnp.asarray(False),
+        min_loss0,
+        sim_time0,
+        stopped0,
         jnp.asarray(0, dtype=jnp.int32),
     )
     (final_state, _, _, _, steps_run), (energies, recorded) = jax.lax.scan(
         body, init, keys
     )
     return TrainResult(finish(final_state), energies, recorded, steps_run)
+
+
+# One device program per at most this many Langevin steps: a single 1e7-step
+# scan is a multi-minute XLA program that the flaky TPU tunnel can kill
+# ("TPU worker process crashed"), and the in-scan early stop still has to
+# ITERATE the remaining steps after it fires. Chunking bounds the program
+# length and lets the host stop launching chunks once the stopper has fired
+# — often a large real-time win at the reference protocol's smallest step
+# sizes. Law-preserving but not key-path-identical to the unchunked scan
+# (chunk keys are fold_in(key, chunk_index)); runs with
+# number_of_epochs <= the chunk size are byte-identical to before.
+_SCAN_CHUNK_STEPS = int(os.environ.get("PLST_SCAN_CHUNK_STEPS", "500000"))
+
+
+def _train_pls_chunked(
+    basis,
+    cost,
+    particles: Array,
+    key: KeyArray,
+    step_size: float,
+    patience: float,
+    number_of_epochs: int,
+    tier: str,
+    spectral_system,
+    discretisation: str,
+    chunk: int,
+) -> TrainResult:
+    """Host-side driver: run the jitted scan in bounded chunks, carrying the
+    early-stopper state (min_loss, sim_time, stopped) across chunk
+    boundaries, and stop launching chunks once the stopper has fired."""
+    import numpy as np
+
+    dtype = particles.dtype
+    energies_parts: list = []
+    recorded_parts: list = []
+    u = particles
+    min_loss, sim_time, stopped = float("inf"), 0.0, False
+    total_steps = 0
+    done = 0
+    idx = 0
+    eta = float(step_size)
+    while done < number_of_epochs and not stopped:
+        n = int(min(chunk, number_of_epochs - done))
+        res = _train_pls_scan(
+            basis,
+            cost,
+            u,
+            jax.random.fold_in(key, idx),
+            step_size,
+            patience,
+            n,
+            tier,
+            spectral_system,
+            discretisation,
+            stopper_init=(
+                jnp.asarray(min_loss, dtype=dtype),
+                jnp.asarray(sim_time, dtype=dtype),
+                jnp.asarray(stopped),
+            ),
+        )
+        u = res.particles
+        e = np.asarray(res.energies, dtype=np.float64)
+        r = np.asarray(res.recorded)
+        energies_parts.append(np.asarray(res.energies))
+        recorded_parts.append(r)
+        total_steps += int(res.steps_run)
+        done += n
+        idx += 1
+        # replay the stopper transition over this chunk (vectorised):
+        # stopped iff the last step was not recorded
+        stopped = not bool(r[-1])
+        if not stopped:
+            # prefix running-min INCLUDING the incoming min_loss, shifted so
+            # prefix[t] is the min BEFORE step t — improvement iff e < prefix
+            prefix = np.minimum.accumulate(np.concatenate(([min_loss], e)))[:-1]
+            improved = e < prefix
+            if improved.any():
+                last_improved = int(np.flatnonzero(improved)[-1])
+                sim_time = (len(e) - 1 - last_improved) * eta
+            else:
+                sim_time = sim_time + len(e) * eta
+            min_loss = min(min_loss, float(e.min()))
+    energies = jnp.asarray(np.concatenate(energies_parts), dtype=dtype)
+    recorded = jnp.asarray(np.concatenate(recorded_parts))
+    return TrainResult(
+        u, energies, recorded, jnp.asarray(total_steps, dtype=jnp.int32)
+    )
 
 
 def train_pls(
@@ -949,18 +1057,35 @@ def train_pls(
         if tier in ("spectral", "spectral_fused")
         else None
     )
-    result = _train_pls_scan(
-        basis,
-        cost,
-        particles,
-        as_key(key),
-        step_size,
-        early_stopper_patience,
-        int(number_of_epochs),
-        tier,
-        spectral_system,
-        discretisation,
-    )
+    if tier in ("off", "quadratic", "spectral") and (
+        int(number_of_epochs) > _SCAN_CHUNK_STEPS
+    ):
+        result = _train_pls_chunked(
+            basis,
+            cost,
+            particles,
+            as_key(key),
+            step_size,
+            early_stopper_patience,
+            int(number_of_epochs),
+            tier,
+            spectral_system,
+            discretisation,
+            _SCAN_CHUNK_STEPS,
+        )
+    else:
+        result = _train_pls_scan(
+            basis,
+            cost,
+            particles,
+            as_key(key),
+            step_size,
+            early_stopper_patience,
+            int(number_of_epochs),
+            tier,
+            spectral_system,
+            discretisation,
+        )
     out_particles = result.particles if exit_map is None else exit_map(result.particles)
     energies = [
         float(e) for e, r in zip(result.energies.tolist(), result.recorded.tolist()) if r
