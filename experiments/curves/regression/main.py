@@ -63,6 +63,10 @@ parser.add_argument(
     "--curve", type=int, default=None,
     help="Run only the given curve index (1-based); default all.",
 )
+parser.add_argument(
+    "--outputs_dirname", type=str, required=False, default="outputs",
+    help="outputs subdirectory (use a distinct one for non-default configs)",
+)
 
 
 def get_experiment_data(
@@ -362,7 +366,9 @@ if __name__ == "__main__":
     args = parser.parse_args()
     with open(args.config_path) as file:
         loaded_config = yaml.safe_load(file)
-    outputs_path = os.path.join(os.path.dirname(os.path.realpath(__file__)), "outputs")
+    outputs_path = os.path.join(
+        os.path.dirname(os.path.realpath(__file__)), args.outputs_dirname
+    )
     curves = CURVE_FUNCTIONS
     if args.curve is not None:
         curves = [CURVE_FUNCTIONS[args.curve - 1]]
