@@ -97,37 +97,125 @@ def profiler_section() -> str:
     return "\n".join(out)
 
 
-def curves_section() -> str:
-    """Selected step size / epochs / learned observation noise per curve from
-    the curve-regression checkpoints (sigma_true=0.2 => true noise var 0.04)."""
+def _curve_table(outputs_dirname: str) -> list[str] | None:
     import glob
     import pickle
 
-    base = os.path.join(ROOT, "experiments", "curves", "regression", "outputs", "models")
+    base = os.path.join(
+        ROOT, "experiments", "curves", "regression", outputs_dirname, "models"
+    )
     if not os.path.isdir(base):
-        return ""
-    out = [
-        "## Curve regression (FULL reference config, sigma_true=0.2 => true noise variance 0.04)\n",
-        "| curve | selected step size | epochs | learned obs. noise |",
-        "|---|---|---|---|",
-    ]
+        return None
+    rows = []
     for path in sorted(glob.glob(os.path.join(base, "*", "pls-onb.pkl"))):
         curve = os.path.basename(os.path.dirname(path))
         with open(path, "rb") as f:
             payload = pickle.load(f)
         lr = payload.get("best_lr")
-        out.append(
+        rows.append(
             f"| {curve} | {lr:.1e} | {payload.get('number_of_epochs')} | "
             f"{float(payload.get('observation_noise')):.4f} |"
             if lr is not None
             else f"| {curve} | (no candidate kept) | — | — |"
         )
+    return rows or None
+
+
+def curves_section() -> str:
+    """Selected step size / epochs / learned observation noise per curve from
+    the curve-regression checkpoints (sigma_true=0.2 => true noise var 0.04).
+
+    Headline = the preconditioned-discretisation run (outputs_precond): the
+    stable integrator keeps a candidate on ALL 10 curves; the explicit-Euler
+    parity run (outputs) follows for comparison (curves 1/10 keep none
+    there)."""
+    out = []
+    precond = _curve_table("outputs_precond")
+    euler = _curve_table("outputs")
+    if precond:
+        out += [
+            "## Curve regression (FULL reference config, sigma_true=0.2 => true noise variance 0.04)\n",
+            "Headline run: `discretisation: preconditioned` (same stationary\n"
+            "posterior; the stable integrator keeps a step-size candidate on\n"
+            "all 10 curves — explicit Euler kept none on curves 1/10).\n",
+            "| curve | selected step size | epochs | learned obs. noise |",
+            "|---|---|---|---|",
+            *precond,
+            "",
+        ]
+    if euler:
+        out += [
+            "### Parity run (explicit Euler, the reference's scheme)\n",
+            "| curve | selected step size | epochs | learned obs. noise |",
+            "|---|---|---|---|",
+            *euler,
+            "",
+        ]
+    if not out:
+        return ""
     out.append(
-        "\nThe step-size search + tempering recover the true noise variance "
+        "The step-size search + tempering recover the true noise variance "
         "where the search converges; see also "
         "`results/onb_scaling_comparison.md` for the reference-vs-nystrom "
         "ONB scaling comparison on the same curves.\n"
     )
+    return "\n".join(out)
+
+
+def headline_vs_svgp_section() -> str:
+    """PLS vs SVGP head-to-head on the headline classification protocol
+    (nystrom scaling + preconditioned discretisation), test split."""
+    base = os.path.join(ROOT, "experiments/uci/classification/outputs_precond")
+    long = collect(base, "test")
+    if long.empty:
+        return ""
+    out = [
+        "## PLS vs SVGP head-to-head (headline classification protocol, test split)\n",
+        "`config_precond.yaml`: consistent-KKL `scaling=nystrom` +\n"
+        "`discretisation=preconditioned` (the round-3 stable data-term\n"
+        "integrator, docs/DESIGN.md). Lower NLL / higher acc, auc, f1 wins;\n"
+        "seed count in parens.\n",
+    ]
+    wins = {m: 0 for m in ("nll", "acc", "auc", "f1")}
+    ties = {m: 0 for m in ("nll", "acc", "auc", "f1")}
+    n_datasets = 0
+    for metric in ("nll", "acc", "auc", "f1"):
+        sel = long[long["metric"] == metric]
+        if sel.empty:
+            continue
+        rows = [
+            f"### {metric}\n",
+            "| dataset | pls-onb | svgp | winner |",
+            "|---|---|---|---|",
+        ]
+        for dataset in sorted(sel["dataset"].unique()):
+            p = sel[(sel["dataset"] == dataset) & (sel["model"] == "pls-onb")]["value"]
+            s = sel[(sel["dataset"] == dataset) & (sel["model"] == "svgp")]["value"]
+            if p.empty or s.empty:
+                continue
+            pm, sm = p.mean(), s.mean()
+            better_low = metric == "nll"
+            if abs(pm - sm) < 1e-4:
+                winner = "tie"
+                ties[metric] += 1
+            elif (pm < sm) == better_low:
+                winner = "**pls**"
+                wins[metric] += 1
+            else:
+                winner = "svgp"
+            rows.append(
+                f"| {dataset} | {pm:.4f} +- {p.std() or 0:.4f} ({len(p)}) "
+                f"| {sm:.4f} +- {s.std() or 0:.4f} ({len(s)}) | {winner} |"
+            )
+            if metric == "nll":
+                n_datasets += 1
+        out.append("\n".join(rows) + "\n")
+    if n_datasets:
+        out.append(
+            "Summary: PLS wins "
+            + ", ".join(f"{wins[m]}/{n_datasets} on {m}" for m in wins)
+            + f" (+ ties: {sum(ties.values())}).\n"
+        )
     return "\n".join(out)
 
 
@@ -184,29 +272,66 @@ def nystrom_section() -> str:
 
 
 def main() -> None:
+    have_precond_cls = os.path.isdir(
+        os.path.join(ROOT, "experiments/uci/classification/outputs_precond")
+    )
+    have_precond_reg = os.path.isdir(
+        os.path.join(ROOT, "experiments/uci/regression/outputs_precond")
+    )
     sections = [
-        "# RESULTS — round-2 experiment runs\n",
+        "# RESULTS — round-3 experiment runs\n",
         "End-to-end runs of the experiment harness at the reference's LONG\n"
         "config (simulation_duration 0.5, <=1e7 Langevin steps, 5-point\n"
         "step-size search, J=100 particles), over the reference's 10-data-seed\n"
         "protocol, on the real TPU v5e chip in float32 (fp64 numerics-critical\n"
-        "factorisations on host). The 6+8 UCI datasets are SYNTHETIC\n"
-        "schema-compatible stand-ins (no network egress here; the reference\n"
-        "ships no CSVs either — `fetch_datasets.py` downloads the real ones\n"
-        "when egress exists). Two REAL datasets ship offline via\n"
-        "scikit-learn: breast_wdbc (UCI Breast Cancer Wisconsin Diagnostic)\n"
-        "and diabetes_sklearn (the diabetes progression study).\n",
+        "factorisations on host). HEADLINE protocol = the consistent-KKL\n"
+        "`scaling=nystrom` ONB + the Lambda-preconditioned discretisation\n"
+        "(same stationary posterior; docs/DESIGN.md 'ONB prior scaling');\n"
+        "the reference-scaling explicit-Euler runs follow as parity sections.\n"
+        "Most of the 6+8 UCI datasets are SYNTHETIC schema-compatible\n"
+        "stand-ins (no network egress here; the reference ships no CSVs\n"
+        "either — `fetch_datasets.py` downloads the real ones when egress\n"
+        "exists). FOUR REAL datasets ship offline via scikit-learn:\n"
+        "breast_wdbc, diabetes_sklearn, digits_even, wine_uci.\n",
         bench_section(),
+        headline_vs_svgp_section(),
+    ]
+    if have_precond_reg:
+        sections.append(
+            uci_section(
+                "UCI regression — HEADLINE (nystrom + preconditioned; diabetes_sklearn REAL)",
+                "experiments/uci/regression/outputs_precond",
+                ["nll", "mse", "mae"],
+                "12 model variants: PLS-ONB / PLS-Student-ONB / SVGP / SVGP-Student,\n"
+                "each raw + tempered + conformalised. `diabetes_sklearn` rows are\n"
+                "REAL data.",
+            )
+        )
+    sections.append(
         uci_section(
-            "UCI regression (6 synthetic stand-ins + diabetes_sklearn REAL data)",
+            "UCI regression — parity protocol (reference scaling, explicit Euler)",
             "experiments/uci/regression/outputs",
             ["nll", "mse", "mae"],
             "12 model variants: PLS-ONB / PLS-Student-ONB / SVGP / SVGP-Student,\n"
             "each raw + tempered + conformalised. `diabetes_sklearn` rows are\n"
-            "REAL data.",
-        ),
+            "REAL data. The reference ONB scaling over-shrinks the prior\n"
+            "(docs/DESIGN.md), so raw PLS NLL trails SVGP here by design of\n"
+            "the parity protocol — see the headline/nystrom sections.",
+        )
+    )
+    if have_precond_cls:
+        sections.append(
+            uci_section(
+                "UCI classification — HEADLINE (nystrom + preconditioned; breast_wdbc REAL)",
+                "experiments/uci/classification/outputs_precond",
+                ["nll", "acc", "auc", "f1"],
+                "PLS-ONB (Bernoulli-sigmoid) vs SVGP, kernels learned on\n"
+                "Dirichlet-transformed targets. `breast_wdbc` rows are REAL data.",
+            )
+        )
+    sections += [
         uci_section(
-            "UCI classification (8 synthetic stand-ins + breast_wdbc REAL data)",
+            "UCI classification — parity protocol (reference scaling, explicit Euler)",
             "experiments/uci/classification/outputs",
             ["nll", "acc", "auc", "f1"],
             "PLS-ONB (Bernoulli-sigmoid) vs SVGP, kernels learned on\n"
