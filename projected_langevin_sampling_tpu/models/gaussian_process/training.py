@@ -53,10 +53,15 @@ def _exact_gp_from_params(params, x, y, fixed_noise_variances=None) -> ExactGP:
 
 @functools.partial(jax.jit, static_argnames=("number_of_epochs",))
 def _run_exact_gp(params, x, y, fixed_noise_variances, learning_rate, patience,
-                  number_of_epochs: int):
+                  number_of_epochs: int, carry_in=None):
     """Module-level jitted worker: defining the jit INSIDE fit_exact_gp would
     recompile on every call (each closure is a fresh cache key) — with the
-    tunneled TPU's 1-3 s compiles that dominated the whole harness."""
+    tunneled TPU's 1-3 s compiles that dominated the whole harness.
+
+    ``carry_in``: optional (params, opt_state, min_loss, sim_time, stopped)
+    from a previous chunk — ``fit_exact_gp`` splits very long fits into
+    bounded device programs (same rationale as training._train_pls_chunked:
+    a 100k-iteration Cholesky-per-step scan can crash the TPU tunnel)."""
     optimizer = optax.adam(learning_rate)
     opt_state = optimizer.init(params)
 
@@ -101,11 +106,11 @@ def _run_exact_gp(params, x, y, fixed_noise_variances, learning_rate, patience,
         jnp.asarray(jnp.inf, dtype=dtype),
         jnp.asarray(0.0, dtype=dtype),
         jnp.asarray(False),
-    )
-    (params, opt_state, _, _, _), (losses, recorded) = jax.lax.scan(
+    ) if carry_in is None else carry_in
+    carry_out, (losses, recorded) = jax.lax.scan(
         body, init, None, length=number_of_epochs
     )
-    return params, losses, recorded
+    return carry_out, losses, recorded
 
 
 def fit_exact_gp(
@@ -138,12 +143,26 @@ def fit_exact_gp(
     }
     patience = jnp.asarray(early_stopper_patience, dtype=x.dtype)
     lr = jnp.asarray(learning_rate, dtype=x.dtype)
-    params, loss_trace, recorded = _run_exact_gp(
-        params, x, y, fixed_noise_variances, lr, patience, int(number_of_epochs)
-    )
-    losses = [
-        float(l) for l, r in zip(loss_trace.tolist(), recorded.tolist()) if r
-    ]
+    # chunked: bound each device program (see _run_exact_gp docstring) and
+    # stop launching chunks once the in-scan stopper has fired
+    from projected_langevin_sampling_tpu.training import _SCAN_CHUNK_STEPS
+
+    chunk = max(1, _SCAN_CHUNK_STEPS // 50)  # Cholesky-per-step: heavier steps
+    remaining = int(number_of_epochs)
+    carry = None
+    losses: list[float] = []
+    while remaining > 0:
+        n = min(chunk, remaining)
+        carry, loss_trace, recorded = _run_exact_gp(
+            params, x, y, fixed_noise_variances, lr, patience, n, carry
+        )
+        losses += [
+            float(l) for l, r in zip(loss_trace.tolist(), recorded.tolist()) if r
+        ]
+        remaining -= n
+        if bool(carry[4]):  # stopped — no more work to launch
+            break
+    params = carry[0]
     return _exact_gp_from_params(params, x, y, fixed_noise_variances), losses
 
 
@@ -240,19 +259,33 @@ def fit_svgp(
     num_batches = max(n // batch_size, 1)
     patience = jnp.asarray(early_stopper_patience, dtype=x.dtype)
     lr = jnp.asarray(learning_rate, dtype=x.dtype)
-    params, loss_trace, recorded, bad = _run_svgp(
-        params, svgp, x, y, key, lr, patience,
-        number_of_epochs=int(number_of_epochs),
-        batch_size=int(batch_size),
-        num_batches=int(num_batches),
-        frozen=tuple(sorted(frozen)),
-    )
-    if bool(bad):
+    # chunked: bound each device program; the key rides the carry so the
+    # chunked run is bit-identical to the single-scan run
+    from projected_langevin_sampling_tpu.training import _SCAN_CHUNK_STEPS
+
+    chunk = max(1, _SCAN_CHUNK_STEPS // 50)
+    remaining = int(number_of_epochs)
+    carry = None
+    losses: list[float] = []
+    while remaining > 0:
+        n_epochs = min(chunk, remaining)
+        carry, loss_trace, recorded = _run_svgp(
+            params, svgp, x, y, key, lr, patience,
+            number_of_epochs=n_epochs,
+            batch_size=int(batch_size),
+            num_batches=int(num_batches),
+            frozen=tuple(sorted(frozen)),
+            carry_in=carry,
+        )
+        losses += [
+            float(l) for l, r in zip(loss_trace.tolist(), recorded.tolist()) if r
+        ]
+        remaining -= n_epochs
+        if bool(carry[5]):  # stopped (includes the bad case)
+            break
+    if bool(carry[6]):  # bad: non-finite parameters adopted
         return None, None
-    losses = [
-        float(l) for l, r in zip(loss_trace.tolist(), recorded.tolist()) if r
-    ]
-    return _svgp_from_params(params, svgp), losses
+    return _svgp_from_params(carry[0], svgp), losses
 
 
 @functools.partial(
@@ -261,8 +294,12 @@ def fit_svgp(
 )
 def _run_svgp(params, svgp, x, y, key, learning_rate, patience,
               number_of_epochs: int, batch_size: int, num_batches: int,
-              frozen: tuple):
-    """Module-level jitted worker (see _run_exact_gp for why)."""
+              frozen: tuple, carry_in=None):
+    """Module-level jitted worker (see _run_exact_gp for why).
+
+    ``carry_in``: full scan carry from a previous chunk (``fit_svgp``
+    bounds device-program length). The PRNG key is part of the carry, so
+    the chunked run is BIT-IDENTICAL to the single-scan run."""
     n = x.shape[0]
     optimizer = optax.sgd(learning_rate)
     opt_state = optimizer.init(params)
@@ -335,10 +372,10 @@ def _run_svgp(params, svgp, x, y, key, learning_rate, patience,
             jnp.asarray(0.0, dtype=dtype),
             jnp.asarray(False),
             jnp.asarray(False),
-        )
-        (params, _, _, _, _, _, bad), (losses, recorded) = jax.lax.scan(
+        ) if carry_in is None else carry_in
+        carry, (losses, recorded) = jax.lax.scan(
             epoch_body, init, None, length=number_of_epochs
         )
-        return params, losses, recorded, bad
+        return carry, losses, recorded
 
     return run(params, opt_state, key)

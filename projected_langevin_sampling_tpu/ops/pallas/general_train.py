@@ -49,7 +49,13 @@ from projected_langevin_sampling_tpu.ops.pallas.spectral_train import (
 
 Array = jax.Array
 
-COST_KINDS = ("gaussian", "bernoulli_sigmoid", "poisson_square", "student_t")
+COST_KINDS = (
+    "gaussian",
+    "bernoulli_sigmoid",
+    "bernoulli_probit",
+    "poisson_square",
+    "student_t",
+)
 _SIGMOID_JITTER = 1e-10
 
 
@@ -77,6 +83,21 @@ def _tile_cost_and_dc(kind: str, f, y, valid, p0, p1):
         p = jnp.clip(jax.nn.sigmoid(f), jit, 1.0 - jit)
         cost = -(y * jnp.log(p) + (1.0 - y) * jnp.log(1.0 - p))
         dc = p - y
+    elif kind == "bernoulli_probit":
+        # d/df of the CLIPPED cross-entropy: phi(f) (p - y)/(p(1-p)) inside
+        # the clip, 0 where the clip saturates (matches jax.grad through
+        # jnp.clip — the library's autograd fallback for the probit link)
+        jit = jnp.maximum(
+            jnp.asarray(_SIGMOID_JITTER, f.dtype), jnp.finfo(f.dtype).eps
+        )
+        cdf = 0.5 * (1.0 + jax.lax.erf(f * (0.5**0.5)))
+        in_range = jnp.logical_and(cdf > jit, cdf < 1.0 - jit)
+        p = jnp.clip(cdf, jit, 1.0 - jit)
+        pdf = jnp.exp(-0.5 * jnp.square(f)) * (1.0 / jnp.sqrt(2.0 * jnp.pi)).astype(
+            f.dtype
+        )
+        cost = -(y * jnp.log(p) + (1.0 - y) * jnp.log(1.0 - p))
+        dc = jnp.where(in_range, pdf * (p - y) / (p * (1.0 - p)), 0.0)
     elif kind == "poisson_square":
         # guard the padded rows BEFORE log/divide (f == 0 there)
         f_safe = jnp.where(valid, f, 1.0)

@@ -110,6 +110,7 @@ def general_fused_cost_spec(basis, cost):
     )
     from projected_langevin_sampling_tpu.models.link_functions import (
         IdentityLinkFunction,
+        ProbitLinkFunction,
         SigmoidLinkFunction,
         SquareLinkFunction,
     )
@@ -125,6 +126,12 @@ def general_fused_cost_spec(basis, cost):
         and link.jitter == 1e-10  # the kernel hard-codes the library default
     ):
         return ("bernoulli_sigmoid", 0.0, 0.0)
+    if (
+        isinstance(cost, BernoulliCost)
+        and isinstance(link, ProbitLinkFunction)
+        and link.jitter == 1e-10
+    ):
+        return ("bernoulli_probit", 0.0, 0.0)
     if isinstance(cost, PoissonCost) and isinstance(link, SquareLinkFunction):
         return ("poisson_square", 0.0, 0.0)
     if isinstance(cost, StudentTCost) and isinstance(link, IdentityLinkFunction):

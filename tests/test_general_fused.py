@@ -58,6 +58,14 @@ def _setup(kind):
         y = jnp.asarray((f_true > 0).astype(np.float32))
         cost = BernoulliCost(y_train=y)
         params = (0.0, 0.0)
+    elif kind == "bernoulli_probit":
+        from projected_langevin_sampling_tpu.models.link_functions import (
+            ProbitLinkFunction,
+        )
+
+        y = jnp.asarray((f_true > 0).astype(np.float32))
+        cost = BernoulliCost(y_train=y, link_function=ProbitLinkFunction())
+        params = (0.0, 0.0)
     elif kind == "poisson_square":
         y = jnp.asarray(rng.poisson(np.exp(f_true)).astype(np.float32))
         cost = PoissonCost(y_train=y, link_function=SquareLinkFunction())
@@ -106,7 +114,8 @@ def _numpy_replay(basis, cost, u0, steps, eta):
 
 
 @pytest.mark.parametrize(
-    "kind", ["gaussian", "bernoulli_sigmoid", "poisson_square", "student_t"]
+    "kind",
+    ["gaussian", "bernoulli_sigmoid", "bernoulli_probit", "poisson_square", "student_t"],
 )
 def test_deterministic_drift_and_energy_trace(kind):
     basis, cost, (p0, p1) = _setup(kind)
