@@ -217,3 +217,48 @@ def test_pls_matches_projected_kernel_posterior():
     trained = langevin_steps(onb, cost, particles, jax.random.key(1), eta, steps)
     emp = np.asarray(onb.calculate_untransformed_train_prediction_samples(trained)).mean(axis=1)
     np.testing.assert_allclose(emp, ridge_mean, atol=0.07)
+
+
+def test_fit_exact_gp_chunked_matches_monolithic(monkeypatch):
+    """The chunked driver (bounded device programs — see
+    models/gaussian_process/training.py) must be BIT-identical to the single
+    scan: the full optimiser + stopper carry is threaded across chunks and
+    the exact-GP fit has no PRNG."""
+    import projected_langevin_sampling_tpu.training as T
+
+    x, y = _data()
+    gp_mono, losses_mono = fit_exact_gp(
+        x, y, kernel=_kernel(ls=2.5, os_=0.3), noise=0.5,
+        learning_rate=0.1, number_of_epochs=60,
+    )
+    monkeypatch.setattr(T, "_SCAN_CHUNK_STEPS", 17 * 50)  # chunk = 17 epochs
+    gp_chunk, losses_chunk = fit_exact_gp(
+        x, y, kernel=_kernel(ls=2.5, os_=0.3), noise=0.5,
+        learning_rate=0.1, number_of_epochs=60,
+    )
+    np.testing.assert_array_equal(np.asarray(losses_mono), np.asarray(losses_chunk))
+    np.testing.assert_array_equal(
+        np.asarray(gp_mono.kernel.lengthscales), np.asarray(gp_chunk.kernel.lengthscales)
+    )
+    np.testing.assert_array_equal(np.asarray(gp_mono.noise), np.asarray(gp_chunk.noise))
+
+
+def test_fit_svgp_chunked_matches_monolithic(monkeypatch):
+    """The SVGP PRNG key rides the scan carry, so the chunked run draws the
+    SAME shuffle sequence — bit-identical parameters and losses."""
+    import projected_langevin_sampling_tpu.training as T
+
+    x, y = _data()
+    z = x[::3]
+    svgp0 = init_svgp(0.0, _kernel(), GaussianLikelihood(noise=jnp.asarray(0.05)), z)
+    kwargs = dict(
+        number_of_epochs=300, batch_size=30, learning_rate=4e-2,
+        learn_kernel_parameters=False, learn_observation_noise=False, key=0,
+    )
+    mono, losses_mono = fit_svgp(svgp0, x, y, **kwargs)
+    monkeypatch.setattr(T, "_SCAN_CHUNK_STEPS", 70 * 50)  # chunk = 70 epochs
+    chunk, losses_chunk = fit_svgp(svgp0, x, y, **kwargs)
+    np.testing.assert_array_equal(np.asarray(losses_mono), np.asarray(losses_chunk))
+    np.testing.assert_array_equal(
+        np.asarray(mono.variational_mean), np.asarray(chunk.variational_mean)
+    )
