@@ -203,9 +203,11 @@ def headline_vs_svgp_section() -> str:
                 wins[metric] += 1
             else:
                 winner = "svgp"
+            p_sd = p.std() if len(p) > 1 else 0.0
+            s_sd = s.std() if len(s) > 1 else 0.0
             rows.append(
-                f"| {dataset} | {pm:.4f} +- {p.std() or 0:.4f} ({len(p)}) "
-                f"| {sm:.4f} +- {s.std() or 0:.4f} ({len(s)}) | {winner} |"
+                f"| {dataset} | {pm:.4f} +- {p_sd:.4f} ({len(p)}) "
+                f"| {sm:.4f} +- {s_sd:.4f} ({len(s)}) | {winner} |"
             )
             if metric == "nll":
                 n_datasets += 1

@@ -280,7 +280,7 @@ def main(
                 early_stopper_patience=pls_config["early_stopper_patience"],
                 fast_path=pls_config.get("fast_path", "auto"),
                 discretisation=pls_config.get("discretisation", "euler"),
-            parallel=pls_config.get("parallel"),
+                parallel=pls_config.get("parallel"),
             )
             save_pls(
                 pls_path,

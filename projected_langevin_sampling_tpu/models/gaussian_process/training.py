@@ -162,7 +162,8 @@ def fit_exact_gp(
         remaining -= n
         if bool(carry[4]):  # stopped — no more work to launch
             break
-    params = carry[0]
+    if carry is not None:  # number_of_epochs == 0 -> return the init params
+        params = carry[0]
     return _exact_gp_from_params(params, x, y, fixed_noise_variances), losses
 
 
@@ -283,6 +284,8 @@ def fit_svgp(
         remaining -= n_epochs
         if bool(carry[5]):  # stopped (includes the bad case)
             break
+    if carry is None:  # number_of_epochs == 0 -> return the init model
+        return _svgp_from_params(params, svgp), losses
     if bool(carry[6]):  # bad: non-finite parameters adopted
         return None, None
     return _svgp_from_params(carry[0], svgp), losses

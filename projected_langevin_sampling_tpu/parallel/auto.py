@@ -45,13 +45,24 @@ def parallel_train_pls(
     discretisation: str = "euler",
 ) -> TrainResult:
     """Sharded-train: particles distributed over the mesh's particle axis,
-    everything else replicated; same semantics as ``training.train_pls``.
-    ``discretisation`` as in ``train_pls`` (ONB-native for the non-Euler
-    schemes — wrap an IPB model in ``training.ipb_w_space_view`` first)."""
+    everything else replicated; same semantics as ``training.train_pls``
+    (including the IPB -> W-space ONB rerouting for the non-Euler
+    discretisations, and the chunked driver for long runs)."""
+    from projected_langevin_sampling_tpu.models.basis.inducing_point import (
+        InducingPointBasis,
+    )
+    from projected_langevin_sampling_tpu.training import ipb_w_space_view
+
     if cost is None:  # called with a PLS facade
         basis, cost = pls_or_basis.basis, pls_or_basis.cost
     else:
         basis = pls_or_basis
+    exit_map = None
+    if isinstance(basis, InducingPointBasis) and discretisation != "euler":
+        view, s_mat, s_inv = ipb_w_space_view(basis)
+        basis = view
+        particles = s_inv @ particles
+        exit_map = lambda u: s_mat @ u
     particle_sharding = NamedSharding(mesh, P(None, PARTICLE_AXIS))
     replicated = NamedSharding(mesh, P())
     particles = jax.device_put(particles, particle_sharding)
@@ -90,15 +101,42 @@ def parallel_train_pls(
         if tier in ("spectral", "spectral_fused")
         else None
     )
-    return _train_pls_scan(
-        basis,
-        cost,
-        particles,
-        as_key(key),
-        step_size,
-        early_stopper_patience,
-        int(number_of_epochs),
-        tier,
-        spectral_system,
-        discretisation,
+    from projected_langevin_sampling_tpu.training import (
+        _SCAN_CHUNK_STEPS,
+        _train_pls_chunked,
     )
+
+    if tier in ("off", "quadratic", "spectral") and (
+        int(number_of_epochs) > _SCAN_CHUNK_STEPS
+    ):
+        # same bounded-device-program driver as train_pls — the protocol's
+        # 1e7-step candidates would otherwise run as one monolithic program
+        result = _train_pls_chunked(
+            basis,
+            cost,
+            particles,
+            as_key(key),
+            step_size,
+            early_stopper_patience,
+            int(number_of_epochs),
+            tier,
+            spectral_system,
+            discretisation,
+            _SCAN_CHUNK_STEPS,
+        )
+    else:
+        result = _train_pls_scan(
+            basis,
+            cost,
+            particles,
+            as_key(key),
+            step_size,
+            early_stopper_patience,
+            int(number_of_epochs),
+            tier,
+            spectral_system,
+            discretisation,
+        )
+    if exit_map is not None:
+        result = result._replace(particles=exit_map(result.particles))
+    return result

@@ -95,6 +95,25 @@ def spectral_fast_path_available(basis, cost) -> bool:
     )
 
 
+# Tiers implementing each non-Euler discretisation's recurrence. One table,
+# consulted by train_pls (resolution), _train_pls_scan (direct-caller guard),
+# langevin_steps and parallel_train_pls — keep in sync by construction.
+NON_EULER_TIERS = {
+    "exponential": ("off", "general_fused"),
+    "preconditioned": ("off", "general_fused", "spectral", "spectral_fused"),
+}
+
+
+def _precond_spectral_coeffs(step_size, sigma, b_rot):
+    """Elementwise recurrence coefficients of the preconditioned spectral
+    tier: W' = decay*W + shift + noise_scale*eps (see ``_spectral_system``)."""
+    exp_decay = jnp.exp(-step_size)
+    decay = exp_decay * (1.0 - step_size * sigma)
+    shift = exp_decay * step_size * b_rot
+    noise_scale = jnp.sqrt(-jnp.expm1(-2.0 * step_size))
+    return decay, shift, noise_scale
+
+
 def general_fused_cost_spec(basis, cost):
     """(cost_kind, param0, param1) for the fused whole-run general kernel
     (``ops/pallas/general_train.py``), or None when the (basis, cost, link)
@@ -581,10 +600,7 @@ def _train_pls_scan(
     if discretisation != "euler":
         # tiers implementing each non-Euler recurrence (direct-caller guard;
         # ``train_pls`` resolves to a valid tier before calling here)
-        allowed = {
-            "exponential": ("off", "general_fused"),
-            "preconditioned": ("off", "general_fused", "spectral", "spectral_fused"),
-        }[discretisation]
+        allowed = NON_EULER_TIERS[discretisation]
         if tier not in allowed:
             raise ValueError(
                 f"discretisation={discretisation!r} is not implemented for the "
@@ -610,10 +626,9 @@ def _train_pls_scan(
 
         sigma, q_in, q_out, b_rot, e_const = spectral()
         if discretisation == "preconditioned":
-            exp_decay = jnp.exp(-step_size)
-            decay = exp_decay * (1.0 - step_size * sigma)
-            shift = exp_decay * step_size * b_rot
-            noise_scale = jnp.sqrt(-jnp.expm1(-2.0 * step_size))
+            decay, shift, noise_scale = _precond_spectral_coeffs(
+                step_size, sigma, b_rot
+            )
             energy_sigma = sigma + 1.0
         else:
             decay = 1.0 - step_size * sigma
@@ -692,10 +707,9 @@ def _train_pls_scan(
     if tier == "spectral":
         sigma, q_in, q_out, b_rot, e_const = spectral()
         if discretisation == "preconditioned":
-            exp_decay = jnp.exp(-step_size)
-            decay = exp_decay * (1.0 - step_size * sigma)  # (M,)
-            shift = exp_decay * step_size * b_rot  # (M,)
-            noise_scale = jnp.sqrt(-jnp.expm1(-2.0 * step_size))
+            decay, shift, noise_scale = _precond_spectral_coeffs(
+                step_size, sigma, b_rot
+            )
             energy_sigma = sigma + 1.0
         else:
             decay = 1.0 - step_size * sigma  # (M,)
@@ -1033,10 +1047,7 @@ def train_pls(
             particles_bytes=particles.dtype.itemsize * particles.size,
         )
     else:
-        allowed = {
-            "exponential": ("off", "general_fused"),
-            "preconditioned": ("off", "general_fused", "spectral", "spectral_fused"),
-        }[discretisation]
+        allowed = NON_EULER_TIERS[discretisation]
         if fast_path == "auto":
             tier = (
                 "spectral"
@@ -1125,11 +1136,15 @@ def langevin_steps(
         basis, cost, fast_path, particles_bytes=particles.dtype.itemsize * particles.size
     )
     if discretisation != "euler":
-        allowed = {
-            "exponential": ("off", "general_fused"),
-            "preconditioned": ("off", "general_fused", "spectral", "spectral_fused"),
-        }[discretisation]
-        if tier not in allowed:
+        from projected_langevin_sampling_tpu.models.basis.orthonormal import (
+            OrthonormalBasis,
+        )
+
+        allowed = NON_EULER_TIERS[discretisation]
+        if tier not in allowed or not isinstance(basis, OrthonormalBasis):
+            # the non-Euler spectral systems are ONB-native; an IPB basis
+            # falls to the general branch below, whose error names the
+            # ipb_w_space_view rerouting
             tier = "off"
     spectral = lambda: (
         spectral_system
@@ -1144,10 +1159,9 @@ def langevin_steps(
 
         sigma, q_in, q_out, b_rot, e_const = spectral()
         if discretisation == "preconditioned":
-            exp_decay = jnp.exp(-step_size)
-            decay = exp_decay * (1.0 - step_size * sigma)
-            shift = exp_decay * step_size * b_rot
-            noise_scale = jnp.sqrt(-jnp.expm1(-2.0 * step_size))
+            decay, shift, noise_scale = _precond_spectral_coeffs(
+                step_size, sigma, b_rot
+            )
         else:
             decay = 1.0 - step_size * sigma
             shift = step_size * b_rot
@@ -1194,10 +1208,9 @@ def langevin_steps(
     if tier == "spectral":
         sigma, q_in, q_out, b_rot, _ = spectral()
         if discretisation == "preconditioned":
-            exp_decay = jnp.exp(-step_size)
-            decay = exp_decay * (1.0 - step_size * sigma)
-            shift = exp_decay * step_size * b_rot
-            noise_scale = jnp.sqrt(-jnp.expm1(-2.0 * step_size))
+            decay, shift, noise_scale = _precond_spectral_coeffs(
+                step_size, sigma, b_rot
+            )
         else:
             decay = 1.0 - step_size * sigma
             shift = step_size * b_rot
