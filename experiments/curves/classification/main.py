@@ -115,17 +115,24 @@ def main(
         )
     )
 
+    # opt-in (pls: mean_constant: gp): the learned GP mean constant the
+    # harness already hands SVGP (reference gives it to SVGP only)
+    pls_mean_constant = (
+        float(mean_constant) if pls_config.get("mean_constant") == "gp" else 0.0
+    )
     onb_basis = build_orthonormal_basis(
         kernel=pls_kernel,
         x_induce=inducing_points.x,
         x_train=experiment_data.train.x,
         scaling=pls_config.get("onb_scaling", "reference"),
+        mean_constant=pls_mean_constant,
     )
     ipb_basis = build_inducing_point_basis(
         kernel=pls_kernel,
         x_induce=inducing_points.x,
         y_induce=inducing_points.y,
         x_train=experiment_data.train.x,
+        mean_constant=pls_mean_constant,
     )
     plot_eigenvalues(
         onb_basis, title="Eigenvalues",

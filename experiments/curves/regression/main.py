@@ -191,6 +191,13 @@ def main(
         x_induce=inducing_points.x,
         x_train=experiment_data.train.x,
         scaling=pls_config.get("onb_scaling", "reference"),
+        # opt-in (pls: mean_constant: gp): the learned GP mean constant the
+        # harness already hands SVGP (reference gives it to SVGP only)
+        mean_constant=(
+            float(mean_constant)
+            if pls_config.get("mean_constant") == "gp"
+            else 0.0
+        ),
     )
     plot_eigenvalues(
         onb_basis,

@@ -178,6 +178,13 @@ def main(
         relative_eigenvalue_threshold=pls_config.get(
             "onb_relative_eigenvalue_threshold"
         ),
+        # opt-in: give PLS the same learned prior mean constant the harness
+        # already hands SVGP (reference gives it to SVGP only — main.py:190-193)
+        mean_constant=(
+            float(mean_constant)
+            if pls_config.get("mean_constant") == "gp"
+            else 0.0
+        ),
     )
     cost = BernoulliCost(
         y_train=experiment_data.train.y, link_function=SigmoidLinkFunction()

@@ -182,6 +182,12 @@ def main(
     )
     likelihood = construct_average_gaussian_likelihood_from_models(subsample_gp_models)
     mean_constant = construct_average_mean_constant(subsample_gp_models)
+    # opt-in (pls: mean_constant: gp): give PLS the same learned prior mean
+    # constant the harness already hands SVGP (the reference gives it to SVGP
+    # only — reference main.py passes mean_constant to SVGP, never to PLS)
+    pls_mean_constant = (
+        float(mean_constant) if pls_config.get("mean_constant") == "gp" else 0.0
+    )
 
     if os.path.exists(inducing_points_path):
         with open(inducing_points_path, "rb") as f:
@@ -214,6 +220,7 @@ def main(
         relative_eigenvalue_threshold=pls_config.get(
             "onb_relative_eigenvalue_threshold"
         ),
+        mean_constant=pls_mean_constant,
     )
     gaussian_cost = GaussianCost(
         observation_noise=likelihood.noise,
@@ -232,6 +239,7 @@ def main(
         relative_eigenvalue_threshold=pls_config.get(
             "onb_relative_eigenvalue_threshold"
         ),
+        mean_constant=pls_mean_constant,
         additional_predictive_noise_distribution=StudentTPredictiveNoise(
             df=degrees_of_freedom, loc=0.0, scale=float(likelihood.noise)
         ),

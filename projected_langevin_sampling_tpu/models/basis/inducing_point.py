@@ -45,6 +45,9 @@ class InducingPointBasis(PLSBasisMixin):
     additional_predictive_noise_distribution: object | None = flax.struct.field(
         pytree_node=False, default=None
     )
+    # Prior mean constant m0 of the latent function (see OrthonormalBasis);
+    # default 0.0 == reference parity. Static so tiers can branch under jit.
+    mean_constant: float = flax.struct.field(pytree_node=False, default=0.0)
 
     @property
     def approximation_dimension(self) -> int:
@@ -62,16 +65,24 @@ class InducingPointBasis(PLSBasisMixin):
         noise_only: bool = True,
         key: KeyArray | int | None = None,
     ) -> Array:
-        """Noise, optionally recentred on y(Z) (reference ``inducing_point.py:60-79``)."""
+        """Noise, optionally recentred on y(Z) (reference ``inducing_point.py:60-79``).
+        Particles are the CENTRED latent values f(Z) - m0, so the y-recentred
+        init subtracts the prior mean constant (m0 == 0 in the reference)."""
         noise = self._initialise_particles_noise(
             number_of_particles=number_of_particles, key=key
         )
-        return noise if noise_only else self.y_induce[:, None] + noise
+        if noise_only:
+            return noise
+        return (self.y_induce - self.mean_constant)[:, None] + noise
 
     # --- hot loop ------------------------------------------------------------
     def calculate_untransformed_train_prediction_samples(self, particles: Array) -> Array:
-        """F = k(X,Z) k(Z,Z)^{-1} U = P @ U, (N, J) (``inducing_point.py:81-93``)."""
-        return self.train_projection @ particles
+        """F = m0 + k(X,Z) k(Z,Z)^{-1} U = m0 + P @ U, (N, J)
+        (``inducing_point.py:81-93``; m0 == 0 in the reference)."""
+        pred = self.train_projection @ particles
+        if self.mean_constant != 0.0:
+            pred = pred + self.mean_constant
+        return pred
 
     def calculate_energy_potential(self, particles: Array, cost: Array) -> Array:
         """mean_j [ cost_j + M/2 ||k(Z,Z)^{-1} U_j||^2 ] (``inducing_point.py:95-115``)."""
@@ -168,7 +179,10 @@ class InducingPointBasis(PLSBasisMixin):
         chol, _ = robust_cholesky(gram_induce_aug)
         rhs = particles - noise[:m, :]
         solved = jax.scipy.linalg.cho_solve((chol, True), rhs)
-        return noise[m:, :] + gram_x_induce @ solved
+        out = noise[m:, :] + gram_x_induce @ solved
+        if self.mean_constant != 0.0:
+            out = out + self.mean_constant
+        return out
 
 
 def build_inducing_point_basis(
@@ -177,6 +191,7 @@ def build_inducing_point_basis(
     y_induce: Array,
     x_train: Array,
     additional_predictive_noise_distribution: object | None = None,
+    mean_constant: float = 0.0,
 ) -> InducingPointBasis:
     """Host-side constructor (reference ``inducing_point.py:23-50`` plus the
     factorisations the reference defers to the hot loop)."""
@@ -211,4 +226,5 @@ def build_inducing_point_basis(
         train_projection=train_projection,
         noise_factor=noise_factor,
         additional_predictive_noise_distribution=additional_predictive_noise_distribution,
+        mean_constant=float(mean_constant),
     )

@@ -52,6 +52,12 @@ class OrthonormalBasis(PLSBasisMixin):
     #     mean for Gaussian likelihoods. Opt-in extension (not reference
     #     behaviour).
     scaling: str = flax.struct.field(pytree_node=False, default="reference")
+    # Prior mean constant m0 of the latent function: f(x) = m0 + sum_i phi_i(x) U_i
+    # with U zero-mean. The reference's PLS prior is zero-mean (its GP baselines
+    # learn a ConstantMean, ``experiments/constructors.py:44-53``, which the
+    # reference passes to SVGP but NOT to PLS); default 0.0 keeps reference
+    # parity. Static (non-pytree) so training tiers can branch on it under jit.
+    mean_constant: float = flax.struct.field(pytree_node=False, default=0.0)
 
     @property
     def approximation_dimension(self) -> int:
@@ -88,8 +94,12 @@ class OrthonormalBasis(PLSBasisMixin):
 
     # --- hot loop ------------------------------------------------------------
     def calculate_untransformed_train_prediction_samples(self, particles: Array) -> Array:
-        """F = k(X,Z) Vt U = B @ U, (N, J) (reference ``orthonormal.py:98-108``)."""
-        return self.train_projection @ particles
+        """F = m0 + k(X,Z) Vt U = m0 + B @ U, (N, J) (reference ``orthonormal.py:98-108``;
+        m0 == 0 in the reference)."""
+        pred = self.train_projection @ particles
+        if self.mean_constant != 0.0:
+            pred = pred + self.mean_constant
+        return pred
 
     def calculate_energy_potential(self, particles: Array, cost: Array) -> Array:
         """mean_j [ cost_j + 1/2 U_j^T Lambda^{-1} U_j ] (``orthonormal.py:110-126``)."""
@@ -181,9 +191,12 @@ class OrthonormalBasis(PLSBasisMixin):
                 augmentation_samples=augmentation_samples,
             )
         m_k = self.approximation_dimension
-        return noise[m_k:, :] + base_gram_x_induce @ (
+        out = noise[m_k:, :] + base_gram_x_induce @ (
             self.scaled_eigenvectors @ (particles - noise[:m_k, :])
         )
+        if self.mean_constant != 0.0:
+            out = out + self.mean_constant
+        return out
 
 
 def build_orthonormal_basis(
@@ -195,6 +208,7 @@ def build_orthonormal_basis(
     verbose: bool = True,
     scaling: str = "reference",
     relative_eigenvalue_threshold: float | None = None,
+    mean_constant: float = 0.0,
 ) -> OrthonormalBasis:
     """Host-side constructor — the O(M^3) step (reference ``orthonormal.py:22-68``).
 
@@ -264,4 +278,5 @@ def build_orthonormal_basis(
         train_projection=train_projection,
         additional_predictive_noise_distribution=additional_predictive_noise_distribution,
         scaling=scaling,
+        mean_constant=float(mean_constant),
     )

@@ -122,7 +122,7 @@ def _general_train_kernel(
     dec_ref,  # (M_k, 1) f32 split-scheme decay (unused for Euler)
     ds_ref,  # (M_k, 1) f32 split-scheme data-drift row scale (unused for Euler)
     nscale_ref,  # (M_k, 1) f32 split-scheme noise row std (unused for Euler)
-    scalar_ref,  # (1, 7) SMEM: [seed, eta, patience, p0, p1, n_valid, J]
+    scalar_ref,  # (1, 8) SMEM: [seed, eta, patience, p0, p1, n_valid, J, f_shift]
     u_out_ref,  # (M_k, J) f32 final particles
     energy_ref,  # (T, 1) f32 energy trace (NaN once stopped)
     g_ref,  # (M_k, J) f32 scratch: drift accumulator
@@ -140,6 +140,7 @@ def _general_train_kernel(
     p1 = scalar_ref[0, 4]
     n_valid = scalar_ref[0, 5].astype(jnp.int32)
     j_count = scalar_ref[0, 6]
+    f_shift = scalar_ref[0, 7]  # prior mean constant m0: F = m0 + P @ U
     root2eta = jnp.sqrt(2.0 * eta)
     n_pad, m_k = p_ref.shape
     j = u_in_ref.shape[1]
@@ -158,7 +159,7 @@ def _general_train_kernel(
         def tile_body(nt, cost_j):
             row0 = nt * tile_n
             p_t = p_ref[pl.ds(row0, tile_n), :]
-            f = jax.lax.dot(p_t, u_b, preferred_element_type=jnp.float32)
+            f = jax.lax.dot(p_t, u_b, preferred_element_type=jnp.float32) + f_shift
             y_t = y_ref[pl.ds(row0, tile_n), :]
             rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (tile_n, 1), 0)
             valid = rows < n_valid
@@ -264,6 +265,7 @@ def general_train_fused(
     num_steps: int,
     cost_param0=0.0,
     cost_param1=0.0,
+    mean_shift=0.0,
     interpret: bool = False,
     zero_noise: bool = False,
     discretisation: str = "euler",
@@ -300,6 +302,7 @@ def general_train_fused(
             jnp.asarray(cost_param1, dtype=jnp.float32),
             jnp.asarray(n, dtype=jnp.float32),
             jnp.asarray(j, dtype=jnp.float32),
+            jnp.asarray(mean_shift, dtype=jnp.float32),
         ]
     )[None, :]
     lam32 = eigenvalues.astype(jnp.float32)

@@ -57,6 +57,8 @@ class ShardedPLSOperators:
     noise_factor: Array | None
     energy_matrix: Array | None  # ONB: None (uses prior_diag); IPB: K^{-1}
     energy_scale: float = flax.struct.field(pytree_node=False, default=1.0)
+    # prior mean constant m0: F = m0 + P @ U (static; 0.0 == reference parity)
+    mean_constant: float = flax.struct.field(pytree_node=False, default=0.0)
 
 
 def operators_from_basis(basis) -> ShardedPLSOperators:
@@ -69,6 +71,7 @@ def operators_from_basis(basis) -> ShardedPLSOperators:
             noise_factor=None,
             energy_matrix=None,
             energy_scale=0.5,
+            mean_constant=basis.mean_constant,
         )
     if isinstance(basis, InducingPointBasis):
         m = basis.approximation_dimension
@@ -80,6 +83,7 @@ def operators_from_basis(basis) -> ShardedPLSOperators:
             noise_factor=basis.noise_factor,
             energy_matrix=basis.inv_base_gram_induce,
             energy_scale=0.5 * m,
+            mean_constant=basis.mean_constant,
         )
     raise TypeError(f"Unsupported basis type {type(basis)}")
 
@@ -116,6 +120,7 @@ def _ops_specs(ops: ShardedPLSOperators) -> ShardedPLSOperators:
         noise_factor=None if ops.noise_factor is None else P(None, None),
         energy_matrix=None if ops.energy_matrix is None else P(None, None),
         energy_scale=ops.energy_scale,
+        mean_constant=ops.mean_constant,
     )
 
 
@@ -160,7 +165,7 @@ def _get_parallel_langevin(mesh: Mesh, n_steps: int, with_energy: bool, ops, cos
         shard_key = jax.random.fold_in(base_key, jax.lax.axis_index(PARTICLE_AXIS))
 
         def body(u, step_idx):
-            f_local = ops.train_projection @ u  # (N_loc, J_loc)
+            f_local = ops.train_projection @ u + ops.mean_constant  # (N_loc, J_loc)
             dc_local = cost.calculate_cost_derivative(f_local)
             drift_data = jax.lax.psum(ops.data_drift.T @ dc_local, DATA_AXIS)
             noise = _sample_noise(
@@ -168,7 +173,7 @@ def _get_parallel_langevin(mesh: Mesh, n_steps: int, with_energy: bool, ops, cos
             )
             u = u - eta * drift_data - eta * _prior_drift(ops, u) + root2eta * noise
             if with_energy:
-                f_new = ops.train_projection @ u
+                f_new = ops.train_projection @ u + ops.mean_constant
                 cost_j = jax.lax.psum(cost.calculate_cost(f_new), DATA_AXIS)
                 e_j = cost_j + _prior_energy(ops, u)
                 energy = jax.lax.psum(jnp.sum(e_j), PARTICLE_AXIS) / jax.lax.psum(
@@ -240,7 +245,7 @@ def parallel_langevin_steps_with_noise(
         root2eta = jnp.sqrt(2.0 * eta)
 
         def body(u, noise_t):
-            f_local = ops.train_projection @ u
+            f_local = ops.train_projection @ u + ops.mean_constant
             dc_local = cost.calculate_cost_derivative(f_local)
             drift_data = jax.lax.psum(ops.data_drift.T @ dc_local, DATA_AXIS)
             u = u - eta * drift_data - eta * _prior_drift(ops, u) + root2eta * noise_t

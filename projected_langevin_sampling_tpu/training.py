@@ -225,7 +225,10 @@ def _quadratic_system(basis, cost):
     )
 
     p = basis.train_projection
-    y = cost.y_train
+    # prior mean constant m0 folds into the targets exactly for the
+    # identity-link Gaussian cost: c(F + m0, y) == c(F, y - m0), so every
+    # downstream drift/energy formula holds verbatim with y_eff = y - m0
+    y = cost.y_train - basis.mean_constant if basis.mean_constant else cost.y_train
     s = cost.observation_noise
     pt_p = p.T @ p  # (M, M), one N-contraction per compiled call
     pt_y = p.T @ y
@@ -305,7 +308,8 @@ def _spectral_system(basis, cost, discretisation: str = "euler"):
                 "(route IPB through its W-space ONB view first)"
             )
         p = basis.train_projection
-        y = cost.y_train
+        # y_eff = y - m0 — exact for the identity-link Gaussian cost
+        y = cost.y_train - basis.mean_constant if basis.mean_constant else cost.y_train
         s_noise = cost.observation_noise
         lam = basis.eigenvalues
         root_lam = jnp.sqrt(lam)
@@ -370,7 +374,10 @@ def spectral_system_host(basis, cost, discretisation: str = "euler"):
             )
         dtype = basis.train_projection.dtype
         p64 = np.asarray(jax.device_get(basis.train_projection), dtype=np.float64)
-        y64 = np.asarray(jax.device_get(cost.y_train), dtype=np.float64)
+        y64 = (
+            np.asarray(jax.device_get(cost.y_train), dtype=np.float64)
+            - basis.mean_constant  # y_eff: exact for identity-link Gaussian
+        )
         s_noise = float(jax.device_get(cost.observation_noise))
         lam64 = np.asarray(jax.device_get(basis.eigenvalues), dtype=np.float64)
         root_lam = np.sqrt(lam64)
@@ -482,6 +489,7 @@ def ipb_w_space_view(basis):
         train_projection=jnp.asarray(train_projection, dtype=dtype),
         additional_predictive_noise_distribution=None,
         scaling="reference",
+        mean_constant=basis.mean_constant,
     )
     return view, jnp.asarray(s, dtype=dtype), jnp.asarray(s_inv, dtype=dtype)
 
@@ -676,6 +684,7 @@ def _train_pls_scan(
             num_steps=number_of_epochs,
             cost_param0=p0,
             cost_param1=p1,
+            mean_shift=basis.mean_constant,
             discretisation=discretisation,
         )
         energies = energies.astype(dtype)
@@ -1201,6 +1210,7 @@ def langevin_steps(
             num_steps=n_steps,
             cost_param0=p0,
             cost_param1=p1,
+            mean_shift=basis.mean_constant,
             discretisation=discretisation,
         )
         return u_final.astype(dtype)

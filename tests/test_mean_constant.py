@@ -1,0 +1,294 @@
+"""Prior mean constant m0 threading.
+
+The latent is f(x) = m0 + sum_i phi_i(x) U_i with zero-mean coefficients U.
+Core invariant (identity-link Gaussian cost, any basis, any tier): the model
+(y, m0) is EXACTLY the shifted model (y - m0, 0) in coefficient space — same
+particles for the same keys, predictions shifted by +m0, energies identical.
+For non-Gaussian costs the derivative must be evaluated at F + m0 (no target
+shift exists); tested directly against the closed forms.
+
+The reference has no PLS prior mean (its GP baselines learn a ConstantMean,
+``experiments/constructors.py:44-53``, which the harness hands to SVGP only),
+so mean_constant=0.0 is reference parity and every nonzero case here is
+new-capability coverage.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from projected_langevin_sampling_tpu.models.basis import (
+    build_inducing_point_basis,
+    build_orthonormal_basis,
+)
+from projected_langevin_sampling_tpu.models.costs import BernoulliCost, GaussianCost
+from projected_langevin_sampling_tpu.models.link_functions import SigmoidLinkFunction
+from projected_langevin_sampling_tpu.models.pls import PLS
+from projected_langevin_sampling_tpu.ops.kernels import ARDKernel, PLSKernel
+from projected_langevin_sampling_tpu.training import (
+    _train_pls_scan,
+    ipb_w_space_view,
+    train_pls,
+)
+from projected_langevin_sampling_tpu.utils.prng import as_key
+
+M0 = -2.75
+
+
+def _data(seed=0, n=32, m=8):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(np.sort(rng.uniform(-2, 2, (n, 1)), axis=0))
+    y = jnp.asarray(np.sin(2 * np.asarray(x)[:, 0]) + 0.1 * rng.normal(size=n))
+    base = ARDKernel(lengthscales=jnp.asarray([0.4]), outputscale=jnp.asarray(1.0))
+    kernel = PLSKernel(base_kernel=base, approximation_samples=x)
+    z = jnp.asarray(np.linspace(-2, 2, m)[:, None])
+    return x, y, kernel, z
+
+
+def _onb(kernel, z, x, mean_constant=0.0, scaling="reference"):
+    return build_orthonormal_basis(
+        kernel, z, x, eigenvalue_threshold=1e-2, verbose=False,
+        scaling=scaling, mean_constant=mean_constant,
+    )
+
+
+def _ipb(kernel, z, x, y_induce, mean_constant=0.0):
+    return build_inducing_point_basis(
+        kernel, z, y_induce, x, mean_constant=mean_constant
+    )
+
+
+@pytest.mark.parametrize("which", ["onb", "ipb"])
+@pytest.mark.parametrize("tier", ["off", "quadratic", "spectral"])
+def test_gaussian_shift_equivalence(which, tier):
+    """(y, m0) == (y - m0, 0) exactly: same particles, same energies."""
+    x, y, kernel, z = _data()
+    y_induce = jnp.asarray(np.sin(2 * np.linspace(-2, 2, 8)))
+    if which == "onb":
+        shifted = _onb(kernel, z, x, mean_constant=M0)
+        centred = _onb(kernel, z, x, mean_constant=0.0)
+    else:
+        shifted = _ipb(kernel, z, x, y_induce, mean_constant=M0)
+        centred = _ipb(kernel, z, x, y_induce - M0, mean_constant=0.0)
+    cost_a = GaussianCost(y_train=y, observation_noise=jnp.asarray(0.1))
+    cost_b = GaussianCost(y_train=y - M0, observation_noise=jnp.asarray(0.1))
+    particles = shifted.initialise_particles(12, key=0)
+    key = as_key(3)
+    a = _train_pls_scan(shifted, cost_a, particles, key, 1e-3, float("inf"), 30, tier)
+    b = _train_pls_scan(centred, cost_b, particles, key, 1e-3, float("inf"), 30, tier)
+    np.testing.assert_allclose(
+        np.asarray(a.particles), np.asarray(b.particles), rtol=1e-9, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.energies), np.asarray(b.energies), rtol=1e-8, atol=1e-10
+    )
+
+
+def test_tiers_agree_with_mean_constant():
+    """quadratic tier must reproduce the off tier trajectory exactly with
+    m0 != 0 (the y_eff folding vs the facade's F + m0 path)."""
+    x, y, kernel, z = _data()
+    basis = _onb(kernel, z, x, mean_constant=M0)
+    cost = GaussianCost(y_train=y, observation_noise=jnp.asarray(0.1))
+    particles = basis.initialise_particles(12, key=0)
+    key = as_key(7)
+    fast = _train_pls_scan(basis, cost, particles, key, 1e-3, float("inf"), 30, "quadratic")
+    slow = _train_pls_scan(basis, cost, particles, key, 1e-3, float("inf"), 30, "off")
+    np.testing.assert_allclose(
+        np.asarray(fast.particles), np.asarray(slow.particles), rtol=1e-9, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast.energies), np.asarray(slow.energies), rtol=1e-8, atol=1e-10
+    )
+
+
+def test_facade_quantities_shift():
+    """Cost derivative is evaluated at F + m0; predictions gain +m0 with the
+    same injected predictive noise; energy matches the manual composition."""
+    x, y, kernel, z = _data()
+    basis0 = _onb(kernel, z, x, mean_constant=0.0)
+    basis = _onb(kernel, z, x, mean_constant=M0)
+    cost = BernoulliCost(
+        y_train=(y > 0).astype(y.dtype), link_function=SigmoidLinkFunction()
+    )
+    pls0 = PLS(basis=basis0, cost=cost)
+    pls = PLS(basis=basis, cost=cost)
+    u = basis.initialise_particles(6, key=1)
+
+    f0 = basis0.calculate_untransformed_train_prediction_samples(u)
+    f = basis.calculate_untransformed_train_prediction_samples(u)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f0) + M0, rtol=1e-12)
+
+    dc = pls.calculate_cost_derivative(u)
+    dc_manual = cost.calculate_cost_derivative(f0 + M0)
+    np.testing.assert_allclose(np.asarray(dc), np.asarray(dc_manual), rtol=1e-12)
+
+    # energy: cost at shifted predictions + unchanged coefficient prior
+    e = float(pls.calculate_energy_potential(u))
+    e_manual = float(
+        basis0.calculate_energy_potential(u, cost.calculate_cost(f0 + M0))
+    )
+    assert e == pytest.approx(e_manual, rel=1e-12)
+
+    # prediction with identical injected noise shifts by exactly m0
+    x_test = jnp.asarray(np.linspace(-1.5, 1.5, 9)[:, None])
+    noise = pls0.sample_predictive_noise(particles=u, x=x_test, key=11)
+    p0 = basis0.predict_untransformed_samples(particles=u, x=x_test, noise=noise)
+    p = basis.predict_untransformed_samples(particles=u, x=x_test, noise=noise)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(p0) + M0, rtol=1e-9, atol=1e-12)
+
+
+def test_ipb_prediction_shift():
+    x, y, kernel, z = _data()
+    y_induce = jnp.asarray(np.sin(2 * np.linspace(-2, 2, 8)))
+    basis0 = _ipb(kernel, z, x, y_induce, mean_constant=0.0)
+    basis = _ipb(kernel, z, x, y_induce, mean_constant=M0)
+    u = basis.initialise_particles(6, key=1)
+    x_test = jnp.asarray(np.linspace(-1.5, 1.5, 9)[:, None])
+    noise = basis0.sample_predictive_noise(particles=u, x=x_test, key=11)
+    p0 = basis0.predict_untransformed_samples(particles=u, x=x_test, noise=noise)
+    p = basis.predict_untransformed_samples(particles=u, x=x_test, noise=noise)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(p0) + M0, rtol=1e-9, atol=1e-12)
+    # y-recentred init centres on the CENTRED latent values
+    init0 = basis0.initialise_particles(5, noise_only=False, key=2)
+    init = basis.initialise_particles(5, noise_only=False, key=2)
+    np.testing.assert_allclose(np.asarray(init0 - init), np.full((8, 5), M0), rtol=1e-12)
+
+
+@pytest.mark.parametrize("discretisation", ["exponential", "preconditioned"])
+def test_split_schemes_shift_equivalence(discretisation):
+    """The non-Euler schemes evaluate dc at F + m0 through the basis method:
+    shift equivalence must hold for the Gaussian cost there too."""
+    x, y, kernel, z = _data()
+    shifted = _onb(kernel, z, x, mean_constant=M0, scaling="nystrom")
+    centred = _onb(kernel, z, x, mean_constant=0.0, scaling="nystrom")
+    cost_a = GaussianCost(y_train=y, observation_noise=jnp.asarray(0.1))
+    cost_b = GaussianCost(y_train=y - M0, observation_noise=jnp.asarray(0.1))
+    particles = shifted.initialise_particles(12, key=0)
+    key = as_key(5)
+    a = _train_pls_scan(
+        shifted, cost_a, particles, key, 1e-3, float("inf"), 30, "off",
+        discretisation=discretisation,
+    )
+    b = _train_pls_scan(
+        centred, cost_b, particles, key, 1e-3, float("inf"), 30, "off",
+        discretisation=discretisation,
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.particles), np.asarray(b.particles), rtol=1e-9, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.energies), np.asarray(b.energies), rtol=1e-8, atol=1e-10
+    )
+
+
+def test_precond_spectral_shift_equivalence():
+    """The preconditioned SPECTRAL tier folds m0 into y_eff inside the host
+    spectral system — must match the off-tier law; check against the shifted
+    model exactly (same tier, same keys)."""
+    x, y, kernel, z = _data()
+    shifted = _onb(kernel, z, x, mean_constant=M0, scaling="nystrom")
+    centred = _onb(kernel, z, x, mean_constant=0.0, scaling="nystrom")
+    cost_a = GaussianCost(y_train=y, observation_noise=jnp.asarray(0.1))
+    cost_b = GaussianCost(y_train=y - M0, observation_noise=jnp.asarray(0.1))
+    particles = shifted.initialise_particles(12, key=0)
+    pa, ea = train_pls(
+        PLS(basis=shifted, cost=cost_a), particles, 30, 1e-3, seed=9,
+        fast_path="spectral", discretisation="preconditioned",
+    )
+    pb, eb = train_pls(
+        PLS(basis=centred, cost=cost_b), particles, 30, 1e-3, seed=9,
+        fast_path="spectral", discretisation="preconditioned",
+    )
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ea), np.asarray(eb), rtol=1e-7, atol=1e-9)
+
+
+def test_general_fused_kernel_mean_shift_interpret():
+    """Interpret-mode fused kernel with zero noise: trajectory must equal the
+    off tier's deterministic gradient flow with m0 != 0 (Bernoulli cost —
+    the non-affine case where y-folding is impossible)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from projected_langevin_sampling_tpu.ops.pallas.general_train import (
+        general_train_fused,
+    )
+
+    x, y, kernel, z = _data()
+    basis = _onb(kernel, z, x, mean_constant=M0)
+    labels = (y > 0).astype(jnp.float32)
+    cost = BernoulliCost(y_train=labels, link_function=SigmoidLinkFunction())
+    u0 = basis.initialise_particles(8, key=0).astype(jnp.float32)
+    steps = 12
+    with pltpu.force_tpu_interpret_mode():
+        u_fused, energies = general_train_fused(
+            basis.train_projection.astype(jnp.float32),
+            u0,
+            labels,
+            basis.eigenvalues.astype(jnp.float32),
+            "bernoulli_sigmoid",
+            seed=0,
+            eta=1e-2,
+            patience=jnp.inf,
+            num_steps=steps,
+            mean_shift=M0,
+            zero_noise=True,
+        )
+    # manual deterministic gradient flow through the basis method (evaluates
+    # dc at F + m0)
+    u = u0
+    f64 = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    basis64 = jax.tree.map(lambda l: l.astype(f64) if hasattr(l, "astype") else l, basis)
+    u = u0.astype(f64)
+    for _ in range(steps):
+        f = basis64.calculate_untransformed_train_prediction_samples(u)
+        dc = cost.calculate_cost_derivative(f)
+        u = u - 1e-2 * (
+            basis64.train_projection.T @ dc + u / basis64.eigenvalues[:, None]
+        )
+    np.testing.assert_allclose(
+        np.asarray(u_fused), np.asarray(u), rtol=2e-2, atol=2e-3
+    )
+
+
+def test_ipb_w_space_view_carries_mean():
+    x, y, kernel, z = _data()
+    y_induce = jnp.asarray(np.sin(2 * np.linspace(-2, 2, 8)))
+    basis = _ipb(kernel, z, x, y_induce, mean_constant=M0)
+    view, s, s_inv = ipb_w_space_view(basis)
+    assert view.mean_constant == M0
+    u = basis.initialise_particles(4, key=3)
+    f_ipb = basis.calculate_untransformed_train_prediction_samples(u)
+    f_view = view.calculate_untransformed_train_prediction_samples(s_inv @ u)
+    np.testing.assert_allclose(np.asarray(f_ipb), np.asarray(f_view), rtol=1e-8, atol=1e-10)
+
+
+def test_parallel_sharded_mean_constant():
+    """Sharded trainer must evaluate dc at F + m0: exact parity with the
+    single-device off tier under injected noise."""
+    from jax.sharding import Mesh
+    from projected_langevin_sampling_tpu.parallel.sharded import (
+        parallel_langevin_steps_with_noise,
+    )
+
+    x, y, kernel, z = _data()
+    basis = _onb(kernel, z, x, mean_constant=M0)
+    labels = (y > 0).astype(y.dtype)
+    cost = BernoulliCost(y_train=labels, link_function=SigmoidLinkFunction())
+    u0 = basis.initialise_particles(8, key=0)
+    steps, eta = 10, 1e-2
+    noise = jax.random.normal(
+        as_key(4), (steps, basis.approximation_dimension, 8), dtype=u0.dtype
+    )
+    devices = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devices, ("data", "particles"))
+    u_par = parallel_langevin_steps_with_noise(mesh, basis, cost, u0, noise, eta)
+    u = u0
+    for t in range(steps):
+        f = basis.calculate_untransformed_train_prediction_samples(u)
+        dc = cost.calculate_cost_derivative(f)
+        u = basis._calculate_particle_update(
+            particles=u, cost_derivative=dc, step_size=eta, noise=noise[t]
+        ) + u
+    np.testing.assert_allclose(np.asarray(u_par), np.asarray(u), rtol=1e-9, atol=1e-11)
