@@ -29,9 +29,12 @@ def save_pls(
     observation_noise: float | None,
     best_lr: float | None,
     number_of_epochs: int,
+    mean_constant: float | None = None,
 ) -> None:
     """PLS checkpoint = {particles, observation_noise, best_lr, epochs}
-    (reference ``curves/regression/main.py:259-267``)."""
+    (reference ``curves/regression/main.py:259-267``). ``mean_constant``
+    records the prior mean the particles were trained under (None = caller
+    manages it; needed so ``mean_constant: select`` runs reload correctly)."""
     with open(path, "wb") as f:
         pickle.dump(
             {
@@ -41,6 +44,7 @@ def save_pls(
                 else float(np.asarray(observation_noise)),
                 "best_lr": best_lr,
                 "number_of_epochs": number_of_epochs,
+                "mean_constant": mean_constant,
             },
             f,
         )
@@ -55,6 +59,8 @@ def load_pls(path: str, pls=None) -> tuple[Array, float | None, float | None, in
     print(f"Loaded PLS particles from {path=}")
     if pls is not None and payload["observation_noise"] is not None:
         pls.observation_noise = payload["observation_noise"]
+    if pls is not None and payload.get("mean_constant") is not None:
+        pls.basis = pls.basis.replace(mean_constant=payload["mean_constant"])
     return (
         jnp.asarray(payload["particles"]),
         payload["observation_noise"],

@@ -21,7 +21,7 @@ from experiments.constructors import (
 )
 from experiments.data import ExperimentData, ProblemType
 from experiments.loaders import load_pls, load_svgp, save_pls, save_svgp
-from experiments.metrics import calculate_metrics, concatenate_metrics
+from experiments.metrics import calculate_metrics, calculate_nll, concatenate_metrics
 from experiments.plotters import plot_eigenvalues
 from experiments.preprocess import set_up_experiment
 from experiments.runners import (
@@ -170,6 +170,20 @@ def main(
     pls_kernel = PLSKernel(
         base_kernel=average_ard_kernel, approximation_samples=inducing_points.x
     )
+    # prior mean constant mode (opt-in; reference parity is zero-mean):
+    #   "gp"     — inherit the learned GP ConstantMean the harness already
+    #              hands SVGP (reference gives it to SVGP only, main.py:190-193)
+    #   "select" — train under BOTH the zero mean and the GP constant, keep
+    #              the better train-split NLL (same selection principle as
+    #              the step-size search; the GP constant helps when the
+    #              Dirichlet-kernel fit is good and hurts when it is not)
+    m0_mode = pls_config.get("mean_constant")
+    if m0_mode == "gp":
+        m0_candidates = [float(mean_constant)]
+    elif m0_mode == "select":
+        m0_candidates = [0.0, float(mean_constant)]
+    else:
+        m0_candidates = [0.0]
     onb_basis = build_orthonormal_basis(
         kernel=pls_kernel,
         x_induce=inducing_points.x,
@@ -178,13 +192,7 @@ def main(
         relative_eigenvalue_threshold=pls_config.get(
             "onb_relative_eigenvalue_threshold"
         ),
-        # opt-in: give PLS the same learned prior mean constant the harness
-        # already hands SVGP (reference gives it to SVGP only — main.py:190-193)
-        mean_constant=(
-            float(mean_constant)
-            if pls_config.get("mean_constant") == "gp"
-            else 0.0
-        ),
+        mean_constant=m0_candidates[0],
     )
     cost = BernoulliCost(
         y_train=experiment_data.train.y, link_function=SigmoidLinkFunction()
@@ -202,35 +210,58 @@ def main(
         seed=pls_config["seed"],
     )
     if os.path.exists(pls_path):
+        # load_pls restores the winning mean constant from the checkpoint
         particles, _, _, _ = load_pls(pls_path, pls=pls)
     else:
-        particles, best_lr, number_of_epochs = train_pls_runner(
-            pls=pls,
-            particles=particles,
-            particle_name=pls.name,
-            experiment_data=experiment_data,
-            simulation_duration=pls_config["simulation_duration"],
-            maximum_number_of_steps=int(pls_config["maximum_number_of_steps"]),
-            step_size_upper=pls_config["step_size_upper"],
-            number_of_step_searches=pls_config["number_of_step_searches"],
-            minimum_change_in_energy_potential=pls_config[
-                "minimum_change_in_energy_potential"
-            ],
-            seed=pls_config["seed"],
-            plot_title=f"{dataset_name}",
-            plot_energy_potential_path=plots_path,
-            metric_to_optimise=pls_config["metric_to_optimise"],
-            early_stopper_patience=pls_config["early_stopper_patience"],
-            fast_path=pls_config.get("fast_path", "auto"),
-            discretisation=pls_config.get("discretisation", "euler"),
-            parallel=pls_config.get("parallel"),
-        )
+        best = None  # (train_nll, m0, particles, best_lr, number_of_epochs)
+        init_particles = particles
+        for m0 in m0_candidates:
+            pls.basis = onb_basis.replace(mean_constant=m0)
+            particles_c, best_lr, number_of_epochs = train_pls_runner(
+                pls=pls,
+                particles=init_particles,
+                particle_name=pls.name,
+                experiment_data=experiment_data,
+                simulation_duration=pls_config["simulation_duration"],
+                maximum_number_of_steps=int(pls_config["maximum_number_of_steps"]),
+                step_size_upper=pls_config["step_size_upper"],
+                number_of_step_searches=pls_config["number_of_step_searches"],
+                minimum_change_in_energy_potential=pls_config[
+                    "minimum_change_in_energy_potential"
+                ],
+                seed=pls_config["seed"],
+                plot_title=f"{dataset_name}",
+                plot_energy_potential_path=plots_path,
+                metric_to_optimise=pls_config["metric_to_optimise"],
+                early_stopper_patience=pls_config["early_stopper_patience"],
+                fast_path=pls_config.get("fast_path", "auto"),
+                discretisation=pls_config.get("discretisation", "euler"),
+                parallel=pls_config.get("parallel"),
+            )
+            if len(m0_candidates) == 1:
+                best = (float("nan"), m0, particles_c, best_lr, number_of_epochs)
+                break
+            prediction = pls.predict(
+                x=experiment_data.train.x, particles=particles_c, key=0
+            )
+            train_nll = calculate_nll(
+                prediction=prediction, y=experiment_data.train.y
+            )
+            print(
+                f"  [mean-constant select] m0={m0:.4f} train_nll={train_nll:.4f}",
+                flush=True,
+            )
+            if best is None or train_nll < best[0]:
+                best = (train_nll, m0, particles_c, best_lr, number_of_epochs)
+        _, best_m0, particles, best_lr, number_of_epochs = best
+        pls.basis = onb_basis.replace(mean_constant=best_m0)
         save_pls(
             pls_path,
             particles=particles,
             observation_noise=pls.observation_noise,
             best_lr=best_lr,
             number_of_epochs=number_of_epochs,
+            mean_constant=best_m0,
         )
     calculate_metrics(
         model=pls,
