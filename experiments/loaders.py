@@ -123,7 +123,16 @@ def load_svgp(path: str, likelihood) -> tuple[SVGP, list[float] | None, float | 
     with open(path, "rb") as f:
         p = pickle.load(f)
     print(f"Loaded SVGP from {path=}")
-    likelihood = jax.tree.map(lambda _, s: jnp.asarray(s), likelihood, p["likelihood"])
+    # The pickled likelihood carries its own static fields (e.g. StudentT
+    # degrees_of_freedom, pytree_node=False); mapping against the caller's
+    # template would demand identical aux data and fails when a rerun
+    # re-estimates those hyperparameters. Trust the checkpoint.
+    if type(p["likelihood"]) is not type(likelihood):
+        raise TypeError(
+            f"Checkpoint likelihood {type(p['likelihood']).__name__} != "
+            f"requested {type(likelihood).__name__} at {path}"
+        )
+    likelihood = jax.tree.map(jnp.asarray, p["likelihood"])
     model = SVGP(
         mean_constant=jnp.asarray(p["mean_constant"]),
         kernel=_kernel_from_payload(p["kernel"]),

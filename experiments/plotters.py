@@ -290,13 +290,16 @@ def plot_true_versus_predicted(
     point = np.asarray(_point_estimate(y_pred))
     if error_bar and isinstance(y_pred, MultivariateNormal):
         z = scipy.stats.norm.interval(coverage)[1]
-        err = z * np.sqrt(np.asarray(y_pred.variance))
+        err = z * np.sqrt(np.clip(np.asarray(y_pred.variance), 0.0, None))
         ax.errorbar(y_true, point, yerr=err, fmt="o", markersize=3, alpha=0.5,
                     elinewidth=0.5)
     elif error_bar and isinstance(y_pred, ConformalPrediction):
         lower = np.asarray(y_pred.lower)
         upper = np.asarray(y_pred.upper)
-        ax.errorbar(y_true, point, yerr=[point - lower, upper - point], fmt="o",
+        # Bounds are clamped to the median, so point-lower / upper-point are
+        # >= 0 up to fp rounding; clip the residual negatives matplotlib rejects.
+        yerr = [np.clip(point - lower, 0.0, None), np.clip(upper - point, 0.0, None)]
+        ax.errorbar(y_true, point, yerr=yerr, fmt="o",
                     markersize=3, alpha=0.5, elinewidth=0.5)
     else:
         ax.scatter(y_true, point, s=8, alpha=0.5)

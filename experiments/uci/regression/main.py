@@ -123,7 +123,11 @@ def estimate_student_parameters(y_actual, predictions) -> tuple[float, float]:
         axis=1,
     )
     degrees_of_freedom, _, scale = scipy.stats.t.fit(residuals, floc=0)
-    return float(degrees_of_freedom), float(scale)
+    # Near-Gaussian residuals drive the MLE df to ~1e13, where the profile
+    # likelihood is flat and the fitted value carries only fp noise — which
+    # then differs between runs and (as a static pytree field) breaks
+    # checkpoint reloads. A t with df 1e6 is Gaussian to ~1e-6; cap there.
+    return float(min(degrees_of_freedom, 1e6)), float(scale)
 
 
 def main(
