@@ -42,6 +42,7 @@ from projected_langevin_sampling_tpu.models.inducing_point_selectors import (
     ConditionalVarianceInducingPointSelector,
 )
 from projected_langevin_sampling_tpu.models.link_functions import SigmoidLinkFunction
+from projected_langevin_sampling_tpu.models.mean_constant import fit_mean_constant_map
 from projected_langevin_sampling_tpu.models.pls import PLS
 from projected_langevin_sampling_tpu.ops.kernels import ARDKernel, PLSKernel
 
@@ -177,6 +178,9 @@ def main(
     #              the better train-split NLL (same selection principle as
     #              the step-size search; the GP constant helps when the
     #              Dirichlet-kernel fit is good and hurts when it is not)
+    #   "map"    — empirical-Bayes: the constant that maximises the penalised
+    #              posterior jointly over [m0; U] (the PLS analogue of SVGP's
+    #              ELBO-trained ConstantMean — see models/mean_constant.py)
     m0_mode = pls_config.get("mean_constant")
     if m0_mode == "gp":
         m0_candidates = [float(mean_constant)]
@@ -197,6 +201,11 @@ def main(
     cost = BernoulliCost(
         y_train=experiment_data.train.y, link_function=SigmoidLinkFunction()
     )
+    if m0_mode == "map":
+        m0_map = fit_mean_constant_map(basis=onb_basis, cost=cost)
+        print(f"  [mean-constant map] m0={m0_map:.4f}", flush=True)
+        m0_candidates = [m0_map]
+        onb_basis = onb_basis.replace(mean_constant=m0_map)
     pls = PLS(basis=onb_basis, cost=cost, name="pls-onb")
     plot_eigenvalues(
         basis=onb_basis,

@@ -292,3 +292,69 @@ def test_parallel_sharded_mean_constant():
             particles=u, cost_derivative=dc, step_size=eta, noise=noise[t]
         ) + u
     np.testing.assert_allclose(np.asarray(u_par), np.asarray(u), rtol=1e-9, atol=1e-11)
+
+
+# ---------------------------------------------------------------------------
+# Empirical-Bayes MAP fit of m0 (models/mean_constant.py)
+# ---------------------------------------------------------------------------
+def test_fit_mean_constant_map_gaussian_closed_form():
+    """Identity-link Gaussian cost: the joint MAP over [m0; u] is a quadratic
+    programme with a closed-form solution — the fitter must recover it."""
+    from projected_langevin_sampling_tpu.models.mean_constant import (
+        fit_mean_constant_map,
+    )
+
+    x, y, kernel, z = _data()
+    basis = _onb(kernel, z, x, scaling="nystrom")
+    sigma2 = 0.3
+    cost = GaussianCost(y_train=y, observation_noise=sigma2)
+    m0 = fit_mean_constant_map(basis=basis, cost=cost)
+    # closed form: minimise ||[1 B][m0;u] - y||^2/(2 s) + u^T L^-1 u / 2
+    B = np.asarray(basis.train_projection, np.float64)
+    lam = np.asarray(basis.eigenvalues, np.float64)
+    A = np.concatenate([np.ones((B.shape[0], 1)), B], axis=1)
+    prec = np.diag(np.concatenate([[0.0], 1.0 / lam]))
+    w = np.linalg.solve(A.T @ A / sigma2 + prec, A.T @ np.asarray(y, np.float64) / sigma2)
+    np.testing.assert_allclose(m0, w[0], rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("which", ["onb", "ipb"])
+def test_fit_mean_constant_map_bernoulli_stationary(which):
+    """Bernoulli/sigmoid: the fitted [m0; u*] must be a stationary point of
+    the penalised objective (gradient ~ 0), and the fitted m0 must beat m0=0
+    on the penalised optimum (it strictly enlarges the feasible set)."""
+    from projected_langevin_sampling_tpu.models.mean_constant import (
+        fit_mean_constant_map,
+    )
+
+    x, y, kernel, z = _data(seed=3)
+    # imbalanced labels => the optimal constant is clearly nonzero
+    labels = (np.asarray(y) > -0.8).astype(np.float64)
+    labels = jnp.asarray(labels)
+    if which == "onb":
+        basis = _onb(kernel, z, x, scaling="nystrom")
+    else:
+        y_induce = labels[:: max(1, x.shape[0] // z.shape[0])][: z.shape[0]]
+        basis = _ipb(kernel, z, x, y_induce=y_induce)
+    cost = BernoulliCost(y_train=labels, link_function=SigmoidLinkFunction())
+    m0 = fit_mean_constant_map(basis=basis, cost=cost)
+    assert np.isfinite(m0) and m0 != 0.0
+
+    def objective(w):
+        f = basis.calculate_untransformed_train_prediction_samples(w[1:, None]) + w[0]
+        return jnp.sum(cost.calculate_cost(f)) + basis.calculate_energy_potential(
+            particles=w[1:, None], cost=jnp.zeros((1,), f.dtype)
+        )
+
+    # refit u at the returned m0 by Newton to get the joint stationary point
+    grad = jax.grad(objective)
+    hess = jax.hessian(objective)
+    w = jnp.zeros(basis.approximation_dimension + 1, basis.dtype).at[0].set(m0)
+    for _ in range(50):
+        w = w - jnp.linalg.solve(
+            hess(w) + 1e-10 * jnp.eye(w.shape[0], dtype=w.dtype), grad(w)
+        )
+    g = np.asarray(grad(w))
+    assert np.max(np.abs(g)) < 1e-5
+    # the m0 component of the joint gradient must vanish at the returned m0
+    assert abs(float(w[0]) - m0) < 1e-4 * max(1.0, abs(m0))
