@@ -55,6 +55,7 @@ from projected_langevin_sampling_tpu.models.gaussian_process import (
     StudentTLikelihood,
 )
 from projected_langevin_sampling_tpu.models.link_functions import IdentityLinkFunction
+from projected_langevin_sampling_tpu.models.mean_constant import fit_mean_constant_map
 from projected_langevin_sampling_tpu.models.pls import PLS
 from projected_langevin_sampling_tpu.models.temper import TemperGP, TemperPLS
 from projected_langevin_sampling_tpu.ops.kernels import ARDKernel, PLSKernel
@@ -254,6 +255,23 @@ def main(
         link_function=IdentityLinkFunction(),
         scale=scale,
     )
+    # "map" mode: empirical-Bayes prior-mean constant per cost — the constant
+    # maximising the penalised posterior jointly over [m0; U] (the PLS
+    # analogue of SVGP's ELBO-trained ConstantMean; on kin8nm the SVGP
+    # constant alone is worth 9x predictive MSE under the r-kernel prior,
+    # see models/mean_constant.py)
+    if pls_config.get("mean_constant") == "map":
+        m0_gaussian = fit_mean_constant_map(basis=onb_basis, cost=gaussian_cost)
+        onb_basis = onb_basis.replace(mean_constant=m0_gaussian)
+        m0_student = fit_mean_constant_map(
+            basis=student_onb_basis, cost=student_cost
+        )
+        student_onb_basis = student_onb_basis.replace(mean_constant=m0_student)
+        print(
+            f"  [mean-constant map] gaussian m0={m0_gaussian:.4f} "
+            f"student m0={m0_student:.4f}",
+            flush=True,
+        )
     pls_dict = {
         "pls-onb": PLS(basis=onb_basis, cost=gaussian_cost),
         "pls-student-onb": PLS(basis=student_onb_basis, cost=student_cost),
@@ -300,6 +318,7 @@ def main(
                 observation_noise=pls.observation_noise,
                 best_lr=best_lr,
                 number_of_epochs=number_of_epochs,
+                mean_constant=float(pls.basis.mean_constant) or None,
             )
         calculate_metrics(
             model=pls,
