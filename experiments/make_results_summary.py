@@ -162,24 +162,61 @@ def curves_section() -> str:
     return "\n".join(out)
 
 
-def headline_vs_svgp_section() -> str:
-    """PLS vs SVGP head-to-head on the headline classification protocol
-    (nystrom scaling + preconditioned discretisation), test split."""
-    base = os.path.join(ROOT, "experiments/uci/classification/outputs_precond")
+def _headline_dir(task: str) -> str | None:
+    """The headline outputs dir for a UCI task: the mean-constant-MAP run
+    (outputs_precond_map) once it is at least as complete as the plain
+    preconditioned run, else outputs_precond."""
+    import glob
+
+    def n_results(d):
+        return len(
+            glob.glob(os.path.join(d, "[0-9]*", "results", "*", "*", "nll_test.csv"))
+        )
+
+    base = os.path.join(ROOT, f"experiments/uci/{task}")
+    precond = os.path.join(base, "outputs_precond")
+    mapdir = os.path.join(base, "outputs_precond_map")
+    if os.path.isdir(mapdir) and n_results(mapdir) >= n_results(precond) > 0:
+        return mapdir
+    if os.path.isdir(precond) and n_results(precond) > 0:
+        return precond
+    return None
+
+
+def headline_vs_svgp_section(
+    task: str = "classification",
+    metrics: tuple[str, ...] = ("nll", "acc", "auc", "f1"),
+    lower_better: tuple[str, ...] = ("nll", "mse", "mae"),
+) -> str:
+    """PLS vs SVGP head-to-head on the headline protocol (nystrom scaling +
+    preconditioned discretisation + empirical-Bayes MAP mean constant when
+    the map sweep is complete), test split."""
+    base = _headline_dir(task)
+    if base is None:
+        return ""
     long = collect(base, "test")
     if long.empty:
         return ""
+    is_map = base.endswith("_map")
     out = [
-        "## PLS vs SVGP head-to-head (headline classification protocol, test split)\n",
-        "`config_precond.yaml`: consistent-KKL `scaling=nystrom` +\n"
+        f"## PLS vs SVGP head-to-head (headline {task} protocol, test split)\n",
+        f"`config_precond{'_map' if is_map else ''}.yaml`: consistent-KKL "
+        "`scaling=nystrom` +\n"
         "`discretisation=preconditioned` (the round-3 stable data-term\n"
-        "integrator, docs/DESIGN.md). Lower NLL / higher acc, auc, f1 wins;\n"
-        "seed count in parens.\n",
+        "integrator, docs/DESIGN.md)"
+        + (
+            " + `mean_constant=map` (the empirical-Bayes\n"
+            "prior-mean constant — the PLS analogue of the ELBO-trained\n"
+            "ConstantMean the reference hands SVGP, models/mean_constant.py)"
+            if is_map
+            else ""
+        )
+        + ".\nLower nll/mse wins, higher acc/auc/f1 wins; seed count in parens.\n",
     ]
-    wins = {m: 0 for m in ("nll", "acc", "auc", "f1")}
-    ties = {m: 0 for m in ("nll", "acc", "auc", "f1")}
+    wins = {m: 0 for m in metrics}
+    ties = {m: 0 for m in metrics}
     n_datasets = 0
-    for metric in ("nll", "acc", "auc", "f1"):
+    for metric in metrics:
         sel = long[long["metric"] == metric]
         if sel.empty:
             continue
@@ -194,7 +231,7 @@ def headline_vs_svgp_section() -> str:
             if p.empty or s.empty:
                 continue
             pm, sm = p.mean(), s.mean()
-            better_low = metric == "nll"
+            better_low = metric in lower_better
             if abs(pm - sm) < 1e-4:
                 winner = "tie"
                 ties[metric] += 1
@@ -218,16 +255,27 @@ def headline_vs_svgp_section() -> str:
             + ", ".join(f"{wins[m]}/{n_datasets} on {m}" for m in wins)
             + f" (+ ties: {sum(ties.values())}).\n"
         )
-    out.append(
-        "Where SVGP retains a small NLL edge on the synthetic stand-ins, it\n"
-        "is not discretisation bias: a step-refinement probe on `breast`\n"
-        "seed 0 (candidates spanning three decades, eta 1e-3 -> 7.1e-6)\n"
-        "moves PLS test NLL only 0.5201 -> 0.5138 — the sampler is\n"
-        "converged and the residual gap is the posterior itself (SVGP's\n"
-        "variational family with probit Gauss-Hermite marginals vs the\n"
-        "particle predictive; both share kernels). On the REAL datasets the\n"
-        "pattern favours PLS (see breast_wdbc rows).\n"
-    )
+    if is_map:
+        out.append(
+            "Root cause of the former gap (round-2 verdict): the reference\n"
+            "trains SVGP's ConstantMean during ELBO optimisation while the\n"
+            "PLS function class could not express a constant offset at all —\n"
+            "on mushrooms the SVGP latent beat even the unpenalised span(B)\n"
+            "ceiling purely through that constant. `mean_constant=map` gives\n"
+            "PLS the same single empirical-Bayes scalar; the Langevin\n"
+            "dynamics and stationary law are otherwise unchanged.\n"
+        )
+    else:
+        out.append(
+            "Where SVGP retains a small NLL edge on the synthetic stand-ins, it\n"
+            "is not discretisation bias: a step-refinement probe on `breast`\n"
+            "seed 0 (candidates spanning three decades, eta 1e-3 -> 7.1e-6)\n"
+            "moves PLS test NLL only 0.5201 -> 0.5138 — the sampler is\n"
+            "converged and the residual gap is the posterior itself (SVGP's\n"
+            "variational family with probit Gauss-Hermite marginals vs the\n"
+            "particle predictive; both share kernels). On the REAL datasets the\n"
+            "pattern favours PLS (see breast_wdbc rows).\n"
+        )
     return "\n".join(out)
 
 
@@ -282,12 +330,8 @@ def nystrom_section() -> str:
 
 
 def main() -> None:
-    have_precond_cls = os.path.isdir(
-        os.path.join(ROOT, "experiments/uci/classification/outputs_precond")
-    )
-    have_precond_reg = os.path.isdir(
-        os.path.join(ROOT, "experiments/uci/regression/outputs_precond")
-    )
+    headline_cls = _headline_dir("classification")
+    headline_reg = _headline_dir("regression")
     sections = [
         "# RESULTS — round-3 experiment runs\n",
         "End-to-end runs of the experiment harness at the reference's LONG\n"
@@ -296,21 +340,25 @@ def main() -> None:
         "protocol, on the real TPU v5e chip in float32 (fp64 numerics-critical\n"
         "factorisations on host). HEADLINE protocol = the consistent-KKL\n"
         "`scaling=nystrom` ONB + the Lambda-preconditioned discretisation\n"
-        "(same stationary posterior; docs/DESIGN.md 'ONB prior scaling');\n"
-        "the reference-scaling explicit-Euler runs follow as parity sections.\n"
-        "Most of the 6+8 UCI datasets are SYNTHETIC schema-compatible\n"
-        "stand-ins (no network egress here; the reference ships no CSVs\n"
-        "either — `fetch_datasets.py` downloads the real ones when egress\n"
-        "exists). FOUR REAL datasets ship offline via scikit-learn:\n"
-        "breast_wdbc, diabetes_sklearn, digits_even, wine_uci.\n",
+        "(same stationary posterior; docs/DESIGN.md 'ONB prior scaling')\n"
+        "+ the empirical-Bayes MAP prior-mean constant (`mean_constant=map`,\n"
+        "models/mean_constant.py — the PLS analogue of SVGP's ELBO-trained\n"
+        "ConstantMean); the reference-scaling explicit-Euler runs follow as\n"
+        "parity sections. Most of the 6+8 UCI datasets are SYNTHETIC\n"
+        "schema-compatible stand-ins (no network egress here; the reference\n"
+        "ships no CSVs either — `fetch_datasets.py` downloads the real ones\n"
+        "when egress exists). FOUR REAL datasets ship offline via\n"
+        "scikit-learn: breast_wdbc, diabetes_sklearn, digits_even, wine_uci.\n",
         bench_section(),
-        headline_vs_svgp_section(),
+        headline_vs_svgp_section("classification", ("nll", "acc", "auc", "f1")),
+        headline_vs_svgp_section("regression", ("nll", "mse")),
     ]
-    if have_precond_reg:
+    if headline_reg:
         sections.append(
             uci_section(
-                "UCI regression — HEADLINE (nystrom + preconditioned; diabetes_sklearn REAL)",
-                "experiments/uci/regression/outputs_precond",
+                "UCI regression — HEADLINE "
+                f"({os.path.basename(headline_reg)}; diabetes_sklearn REAL)",
+                os.path.relpath(headline_reg, ROOT),
                 ["nll", "mse", "mae"],
                 "12 model variants: PLS-ONB / PLS-Student-ONB / SVGP / SVGP-Student,\n"
                 "each raw + tempered + conformalised. `diabetes_sklearn` rows are\n"
@@ -329,11 +377,12 @@ def main() -> None:
             "the parity protocol — see the headline/nystrom sections.",
         )
     )
-    if have_precond_cls:
+    if headline_cls:
         sections.append(
             uci_section(
-                "UCI classification — HEADLINE (nystrom + preconditioned; breast_wdbc REAL)",
-                "experiments/uci/classification/outputs_precond",
+                "UCI classification — HEADLINE "
+                f"({os.path.basename(headline_cls)}; breast_wdbc REAL)",
+                os.path.relpath(headline_cls, ROOT),
                 ["nll", "acc", "auc", "f1"],
                 "PLS-ONB (Bernoulli-sigmoid) vs SVGP, kernels learned on\n"
                 "Dirichlet-transformed targets. `breast_wdbc` rows are REAL data.",
