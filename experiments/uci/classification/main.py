@@ -36,7 +36,11 @@ from experiments.uci.constants import (
     resolve_schema,
 )
 from projected_langevin_sampling_tpu.models.basis import build_orthonormal_basis
-from projected_langevin_sampling_tpu.models.costs import BernoulliCost
+from projected_langevin_sampling_tpu.models.costs import (
+    BernoulliCost,
+    make_smoothed_bernoulli_cost,
+    residual_smoothing_std,
+)
 from projected_langevin_sampling_tpu.models.gaussian_process import BernoulliLikelihood
 from projected_langevin_sampling_tpu.models.inducing_point_selectors import (
     ConditionalVarianceInducingPointSelector,
@@ -201,6 +205,18 @@ def main(
     cost = BernoulliCost(
         y_train=experiment_data.train.y, link_function=SigmoidLinkFunction()
     )
+    # FITC-style residual smoothing (opt-in; requires onb_scaling "nystrom"):
+    # train the particles against the same expected log-likelihood SVGP's
+    # ELBO uses — E_{eps~N(0, k_ii - Q_ii)}[log p(y_i | f_i + eps)] — instead
+    # of the raw projected likelihood. See models/costs/smoothed_bernoulli.py
+    # for the train-time symmetry argument.
+    if pls_config.get("cost_smoothing") == "residual":
+        smoothing_std = residual_smoothing_std(
+            onb_basis, average_ard_kernel(experiment_data.train.x, diag=True)
+        )
+        cost = make_smoothed_bernoulli_cost(
+            y_train=experiment_data.train.y, smoothing_std=smoothing_std
+        )
     if m0_mode == "map":
         m0_map = fit_mean_constant_map(basis=onb_basis, cost=cost)
         print(f"  [mean-constant map] m0={m0_map:.4f}", flush=True)
