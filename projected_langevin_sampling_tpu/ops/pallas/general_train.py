@@ -30,8 +30,9 @@ HBM traffic for the whole run: read P + U0 + y once, write U_final + the
 MXU (4 N M_k J flops/step) plus the Box-Muller VPU work.
 
 Supported costs (closed forms identical to the library's):
-gaussian-identity, bernoulli-sigmoid, poisson-square, student_t-identity.
-Autograd-only costs (MultiModal, probit links) stay on the XLA path.
+gaussian-identity, bernoulli-sigmoid (plain and residual-smoothed),
+bernoulli-probit, poisson-square, student_t-identity.
+Autograd-only costs (MultiModal) stay on the XLA path.
 """
 
 from __future__ import annotations
@@ -40,6 +41,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -52,14 +54,19 @@ Array = jax.Array
 COST_KINDS = (
     "gaussian",
     "bernoulli_sigmoid",
+    "bernoulli_sigmoid_smoothed",
     "bernoulli_probit",
     "poisson_square",
     "student_t",
 )
 _SIGMOID_JITTER = 1e-10
+# 16-node Gauss-Hermite rule baked in as compile-time constants — matches the
+# library default of make_smoothed_bernoulli_cost (the cost spec in
+# training.py routes other node counts to the XLA path)
+_GH16_NODES, _GH16_WEIGHTS = np.polynomial.hermite.hermgauss(16)
 
 
-def _tile_cost_and_dc(kind: str, f, y, valid, p0, p1):
+def _tile_cost_and_dc(kind: str, f, y, valid, p0, p1, aux):
     """Per-tile cost (N_t, J) and derivative (N_t, J) for the closed-form
     cost families; ``valid`` masks padded rows (zero contribution).
 
@@ -68,6 +75,9 @@ def _tile_cost_and_dc(kind: str, f, y, valid, p0, p1):
       bernoulli:   unused
       poisson:     unused
       student_t:   p0 = degrees of freedom, p1 = scale
+    ``aux`` is the per-row auxiliary column (N_t, 1):
+      bernoulli_sigmoid_smoothed: the residual smoothing std s_i
+      (zeros for every other kind)
     """
     if kind == "gaussian":
         err = f - y
@@ -83,6 +93,19 @@ def _tile_cost_and_dc(kind: str, f, y, valid, p0, p1):
         p = jnp.clip(jax.nn.sigmoid(f), jit, 1.0 - jit)
         cost = -(y * jnp.log(p) + (1.0 - y) * jnp.log(1.0 - p))
         dc = p - y
+    elif kind == "bernoulli_sigmoid_smoothed":
+        # residual-smoothed expected log-likelihood
+        # (models/costs/smoothed_bernoulli.py): cost = E_z[softplus(f + s z)]
+        # - y f, dc = E_z[sigmoid(f + s z)] - y, 16-node Gauss-Hermite with
+        # the rule unrolled as compile-time constants (pure VPU work fused
+        # into the same tile sweep as the MXU contractions)
+        cost = -y * f
+        dc = -y
+        for n_q, w_q in zip(_GH16_NODES, _GH16_WEIGHTS):
+            zq = f + jnp.asarray(np.sqrt(2.0) * n_q, f.dtype) * aux
+            wq = jnp.asarray(w_q / np.sqrt(np.pi), f.dtype)
+            cost = cost + wq * jax.nn.softplus(zq)
+            dc = dc + wq * jax.nn.sigmoid(zq)
     elif kind == "bernoulli_probit":
         # d/df of the CLIPPED cross-entropy: phi(f) (p - y)/(p(1-p)) inside
         # the clip, 0 where the clip saturates (matches jax.grad through
@@ -118,6 +141,7 @@ def _general_train_kernel(
     p_ref,  # (N_pad, M_k) bf16 train projection, VMEM-resident all run
     u_in_ref,  # (M_k, J) f32 initial particles (aliased to u_out)
     y_ref,  # (N_pad, 1) f32 targets (zero in padded rows)
+    aux_ref,  # (N_pad, 1) f32 per-row cost auxiliary (smoothing std; zeros otherwise)
     inv_lam_ref,  # (M_k, 1) f32 1/eigenvalues (ONB prior precision)
     dec_ref,  # (M_k, 1) f32 split-scheme decay (unused for Euler)
     ds_ref,  # (M_k, 1) f32 split-scheme data-drift row scale (unused for Euler)
@@ -161,9 +185,10 @@ def _general_train_kernel(
             p_t = p_ref[pl.ds(row0, tile_n), :]
             f = jax.lax.dot(p_t, u_b, preferred_element_type=jnp.float32) + f_shift
             y_t = y_ref[pl.ds(row0, tile_n), :]
+            aux_t = aux_ref[pl.ds(row0, tile_n), :]
             rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (tile_n, 1), 0)
             valid = rows < n_valid
-            cost_t, dc = _tile_cost_and_dc(cost_kind, f, y_t, valid, p0, p1)
+            cost_t, dc = _tile_cost_and_dc(cost_kind, f, y_t, valid, p0, p1, aux_t)
             if with_g:
                 g_ref[:] += jax.lax.dot_general(
                     p_t,
@@ -266,6 +291,7 @@ def general_train_fused(
     cost_param0=0.0,
     cost_param1=0.0,
     mean_shift=0.0,
+    aux: Array | None = None,  # (N,) per-row cost auxiliary (smoothing std)
     interpret: bool = False,
     zero_noise: bool = False,
     discretisation: str = "euler",
@@ -293,6 +319,9 @@ def general_train_fused(
     y_pad = jnp.zeros((n_pad, 1), dtype=jnp.float32).at[:n, 0].set(
         y.astype(jnp.float32)
     )
+    aux_pad = jnp.zeros((n_pad, 1), dtype=jnp.float32)
+    if aux is not None:
+        aux_pad = aux_pad.at[:n, 0].set(aux.astype(jnp.float32))
     scalars = jnp.stack(
         [
             jnp.asarray(seed, dtype=jnp.float32),
@@ -337,6 +366,7 @@ def general_train_fused(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
@@ -353,5 +383,5 @@ def general_train_fused(
         # Box-Muller temporaries exceed it at production scale
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(p_pad, u0.astype(jnp.float32), y_pad, inv_lam, dec, ds, nscale, scalars)
+    )(p_pad, u0.astype(jnp.float32), y_pad, aux_pad, inv_lam, dec, ds, nscale, scalars)
     return u_final, energies[:, 0]

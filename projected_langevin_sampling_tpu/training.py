@@ -115,9 +115,10 @@ def _precond_spectral_coeffs(step_size, sigma, b_rot):
 
 
 def general_fused_cost_spec(basis, cost):
-    """(cost_kind, param0, param1) for the fused whole-run general kernel
+    """(cost_kind, param0, param1, aux) for the fused whole-run general kernel
     (``ops/pallas/general_train.py``), or None when the (basis, cost, link)
-    combination is outside its closed-form families."""
+    combination is outside its closed-form families. ``aux`` is the per-row
+    auxiliary column (the residual smoothing std) or None."""
     from projected_langevin_sampling_tpu.models.basis.orthonormal import (
         OrthonormalBasis,
     )
@@ -125,6 +126,7 @@ def general_fused_cost_spec(basis, cost):
         BernoulliCost,
         GaussianCost,
         PoissonCost,
+        SmoothedBernoulliCost,
         StudentTCost,
     )
     from projected_langevin_sampling_tpu.models.link_functions import (
@@ -138,23 +140,29 @@ def general_fused_cost_spec(basis, cost):
         return None
     link = cost.link_function
     if isinstance(cost, GaussianCost) and isinstance(link, IdentityLinkFunction):
-        return ("gaussian", cost.observation_noise, 0.0)
+        return ("gaussian", cost.observation_noise, 0.0, None)
     if (
         isinstance(cost, BernoulliCost)
         and isinstance(link, SigmoidLinkFunction)
         and link.jitter == 1e-10  # the kernel hard-codes the library default
     ):
-        return ("bernoulli_sigmoid", 0.0, 0.0)
+        return ("bernoulli_sigmoid", 0.0, 0.0, None)
+    if (
+        isinstance(cost, SmoothedBernoulliCost)
+        and isinstance(link, SigmoidLinkFunction)
+        and cost.gh_nodes.shape[0] == 16  # the kernel bakes in the 16-node rule
+    ):
+        return ("bernoulli_sigmoid_smoothed", 0.0, 0.0, cost.smoothing_std)
     if (
         isinstance(cost, BernoulliCost)
         and isinstance(link, ProbitLinkFunction)
         and link.jitter == 1e-10
     ):
-        return ("bernoulli_probit", 0.0, 0.0)
+        return ("bernoulli_probit", 0.0, 0.0, None)
     if isinstance(cost, PoissonCost) and isinstance(link, SquareLinkFunction):
-        return ("poisson_square", 0.0, 0.0)
+        return ("poisson_square", 0.0, 0.0, None)
     if isinstance(cost, StudentTCost) and isinstance(link, IdentityLinkFunction):
-        return ("student_t", cost.degrees_of_freedom, cost.scale)
+        return ("student_t", cost.degrees_of_freedom, cost.scale, None)
     return None
 
 
@@ -670,7 +678,7 @@ def _train_pls_scan(
             general_train_fused,
         )
 
-        kind, p0, p1 = general_fused_cost_spec(basis, cost)
+        kind, p0, p1, aux = general_fused_cost_spec(basis, cost)
         seed = jax.random.randint(key, (), 0, 2**31 - 1)
         u_final, energies = general_train_fused(
             basis.train_projection,
@@ -685,6 +693,7 @@ def _train_pls_scan(
             cost_param0=p0,
             cost_param1=p1,
             mean_shift=basis.mean_constant,
+            aux=aux,
             discretisation=discretisation,
         )
         energies = energies.astype(dtype)
@@ -1196,7 +1205,7 @@ def langevin_steps(
             general_train_fused,
         )
 
-        kind, p0, p1 = general_fused_cost_spec(basis, cost)
+        kind, p0, p1, aux = general_fused_cost_spec(basis, cost)
         seed = jax.random.randint(key, (), 0, 2**31 - 1)
         u_final, _ = general_train_fused(
             basis.train_projection,
@@ -1211,6 +1220,7 @@ def langevin_steps(
             cost_param0=p0,
             cost_param1=p1,
             mean_shift=basis.mean_constant,
+            aux=aux,
             discretisation=discretisation,
         )
         return u_final.astype(dtype)

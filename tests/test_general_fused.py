@@ -58,6 +58,19 @@ def _setup(kind):
         y = jnp.asarray((f_true > 0).astype(np.float32))
         cost = BernoulliCost(y_train=y)
         params = (0.0, 0.0)
+    elif kind == "bernoulli_sigmoid_smoothed":
+        from projected_langevin_sampling_tpu.models.costs import (
+            make_smoothed_bernoulli_cost,
+        )
+
+        y = jnp.asarray((f_true > 0).astype(np.float32))
+        cost = make_smoothed_bernoulli_cost(
+            y_train=y,
+            smoothing_std=jnp.asarray(
+                rng.uniform(0.1, 1.0, N).astype(np.float32)
+            ),
+        )
+        params = (0.0, 0.0)
     elif kind == "bernoulli_probit":
         from projected_langevin_sampling_tpu.models.link_functions import (
             ProbitLinkFunction,
@@ -115,10 +128,18 @@ def _numpy_replay(basis, cost, u0, steps, eta):
 
 @pytest.mark.parametrize(
     "kind",
-    ["gaussian", "bernoulli_sigmoid", "bernoulli_probit", "poisson_square", "student_t"],
+    [
+        "gaussian",
+        "bernoulli_sigmoid",
+        "bernoulli_sigmoid_smoothed",
+        "bernoulli_probit",
+        "poisson_square",
+        "student_t",
+    ],
 )
 def test_deterministic_drift_and_energy_trace(kind):
     basis, cost, (p0, p1) = _setup(kind)
+    aux = getattr(cost, "smoothing_std", None)
     u0 = basis.initialise_particles(J, key=0).astype(jnp.float32)
     with pltpu.force_tpu_interpret_mode():
         u_fused, energies = general_train_fused(
@@ -133,6 +154,7 @@ def test_deterministic_drift_and_energy_trace(kind):
             num_steps=STEPS,
             cost_param0=p0,
             cost_param1=p1,
+            aux=aux,
             zero_noise=True,
         )
     u_np, e_np = _numpy_replay(basis, cost, u0, STEPS, ETA)
@@ -180,6 +202,11 @@ def test_training_tier_integration():
 
     basis, cost, _ = _setup("bernoulli_sigmoid")
     assert resolve_fast_path(basis, cost, "general_fused") == "general_fused"
+    smoothed_basis, smoothed_cost, _ = _setup("bernoulli_sigmoid_smoothed")
+    assert (
+        resolve_fast_path(smoothed_basis, smoothed_cost, "general_fused")
+        == "general_fused"
+    )
     mm = MultiModalCost(
         y_train=cost.y_train,
         observation_noise=jnp.asarray(0.1, jnp.float32),
@@ -198,3 +225,20 @@ def test_training_tier_integration():
     assert np.isfinite(e).all() and e[-1] < e[0]
     assert bool(np.asarray(result.recorded).all())
     assert int(result.steps_run) == STEPS
+
+    # the smoothed cost composes with the preconditioned discretisation
+    # in-kernel (the headline classification protocol's fast tier)
+    with pltpu.force_tpu_interpret_mode():
+        result_s = _train_pls_scan(
+            smoothed_basis,
+            smoothed_cost,
+            u0,
+            as_key(5),
+            ETA,
+            float("inf"),
+            STEPS,
+            "general_fused",
+            discretisation="preconditioned",
+        )
+    e_s = np.asarray(result_s.energies)
+    assert np.isfinite(e_s).all() and e_s[-1] < e_s[0]
