@@ -163,9 +163,11 @@ def curves_section() -> str:
 
 
 def _headline_dir(task: str) -> str | None:
-    """The headline outputs dir for a UCI task: the mean-constant-MAP run
-    (outputs_precond_map) once it is at least as complete as the plain
-    preconditioned run, else outputs_precond."""
+    """The headline outputs dir for a UCI task, in decreasing preference:
+    the residual-smoothed-cost run (outputs_precond_smooth, classification
+    only), then the mean-constant-MAP run (outputs_precond_map), then the
+    plain preconditioned run — each gated on being at least as complete as
+    the next-best candidate."""
     import glob
 
     def n_results(d):
@@ -176,6 +178,9 @@ def _headline_dir(task: str) -> str | None:
     base = os.path.join(ROOT, f"experiments/uci/{task}")
     precond = os.path.join(base, "outputs_precond")
     mapdir = os.path.join(base, "outputs_precond_map")
+    smooth = os.path.join(base, "outputs_precond_smooth")
+    if os.path.isdir(smooth) and n_results(smooth) >= n_results(mapdir) > 0:
+        return smooth
     if os.path.isdir(mapdir) and n_results(mapdir) >= n_results(precond) > 0:
         return mapdir
     if os.path.isdir(precond) and n_results(precond) > 0:
@@ -197,10 +202,12 @@ def headline_vs_svgp_section(
     long = collect(base, "test")
     if long.empty:
         return ""
-    is_map = base.endswith("_map")
+    is_smooth = base.endswith("_smooth")
+    is_map = base.endswith("_map") or is_smooth
+    config_tag = "_smooth" if is_smooth else ("_map" if is_map else "")
     out = [
         f"## PLS vs SVGP head-to-head (headline {task} protocol, test split)\n",
-        f"`config_precond{'_map' if is_map else ''}.yaml`: consistent-KKL "
+        f"`config_precond{config_tag}.yaml`: consistent-KKL "
         "`scaling=nystrom` +\n"
         "`discretisation=preconditioned` (the round-3 stable data-term\n"
         "integrator, docs/DESIGN.md)"
@@ -209,6 +216,13 @@ def headline_vs_svgp_section(
             "prior-mean constant — the PLS analogue of the ELBO-trained\n"
             "ConstantMean the reference hands SVGP, models/mean_constant.py)"
             if is_map
+            else ""
+        )
+        + (
+            " + `cost_smoothing=residual`\n"
+            "(the FITC-style residual-smoothed cost — the same expected\n"
+            "log-likelihood SVGP's ELBO scores, models/costs/smoothed_bernoulli.py)"
+            if is_smooth
             else ""
         )
         + ".\nLower nll/mse wins, higher acc/auc/f1 wins; seed count in parens.\n",
