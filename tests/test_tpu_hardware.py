@@ -57,6 +57,18 @@ def _setup(kind):
             observation_noise=jnp.asarray(0.1, jnp.float32),
             link_function=IdentityLinkFunction(),
         )
+    elif kind == "bernoulli_smoothed":
+        from projected_langevin_sampling_tpu.models.costs import (
+            make_smoothed_bernoulli_cost,
+        )
+
+        y = jnp.asarray((f_true > 0).astype(np.float32))
+        cost = make_smoothed_bernoulli_cost(
+            y_train=y,
+            smoothing_std=jnp.asarray(
+                rng.uniform(0.1, 1.0, N).astype(np.float32)
+            ),
+        )
     else:  # bernoulli_sigmoid
         y = jnp.asarray((f_true > 0).astype(np.float32))
         cost = BernoulliCost(y_train=y)
@@ -132,6 +144,22 @@ def test_general_fused_law_bernoulli_preconditioned():
         discretisation="preconditioned",
     )
     _assert_law_matches(u_xla, u_fused, "general_fused/bernoulli/preconditioned")
+
+
+def test_general_fused_law_bernoulli_smoothed_preconditioned():
+    """The headline classification cost (residual-smoothed quadrature),
+    fused-vs-XLA on hardware noise under the preconditioned scheme."""
+    basis, cost = _setup("bernoulli_smoothed")
+    u0 = basis.initialise_particles(J, key=0).astype(jnp.float32)
+    eta, steps = 5e-3, 2000  # unconditionally prior-stable
+    u_xla = _run(
+        basis, cost, u0, eta, steps, "off", key=7, discretisation="preconditioned"
+    )
+    u_fused = _run(
+        basis, cost, u0, eta, steps, "general_fused", key=3,
+        discretisation="preconditioned",
+    )
+    _assert_law_matches(u_xla, u_fused, "general_fused/smoothed/preconditioned")
 
 
 def test_spectral_fused_law_gaussian():
