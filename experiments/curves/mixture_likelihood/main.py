@@ -33,6 +33,12 @@ parser = argparse.ArgumentParser(description="Main script for mixture likelihood
 parser.add_argument("--config_path", type=str)
 parser.add_argument("--include_gif", type=str2bool, default=False)
 parser.add_argument("--curve", type=int, default=None)
+parser.add_argument(
+    "--outputs_dirname",
+    type=str,
+    default="outputs",
+    help="Output directory name (variant runs, e.g. the preconditioned protocol).",
+)
 
 
 def get_experiment_data(
@@ -199,7 +205,9 @@ if __name__ == "__main__":
     args = parser.parse_args()
     with open(args.config_path) as file:
         loaded_config = yaml.safe_load(file)
-    outputs_path = os.path.join(os.path.dirname(os.path.realpath(__file__)), "outputs")
+    outputs_path = os.path.join(
+        os.path.dirname(os.path.realpath(__file__)), args.outputs_dirname
+    )
     curves = CURVE_FUNCTIONS
     if args.curve is not None:
         curves = [CURVE_FUNCTIONS[args.curve - 1]]

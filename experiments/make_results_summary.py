@@ -162,6 +162,135 @@ def curves_section() -> str:
     return "\n".join(out)
 
 
+def _curve_metric(task: str, curve: str, model: str, metric: str) -> float | None:
+    path = os.path.join(
+        ROOT, "experiments", "curves", task, "outputs", "results", curve, model,
+        f"{metric}_test.csv",
+    )
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        lines = f.read().strip().splitlines()
+    try:
+        return float(lines[-1].split(",")[1])
+    except (IndexError, ValueError):
+        return None
+
+
+def _curve_order() -> list[str]:
+    return [f"curve{i}" for i in range(1, 11)]
+
+
+def curve_classification_section() -> str:
+    """Per-curve test metrics from the round-2 FULL-config classification
+    curve run (Dirichlet-learned kernels). The synthetic Bernoulli curves
+    have low Bayes accuracy; NLL is the discriminating metric."""
+    rows = []
+    for curve in _curve_order():
+        pls_nll = _curve_metric("classification", curve, "pls-onb-sigmoid", "nll")
+        svgp_nll = _curve_metric("classification", curve, "svgp-c", "nll")
+        pls_acc = _curve_metric("classification", curve, "pls-onb-sigmoid", "acc")
+        svgp_acc = _curve_metric("classification", curve, "svgp-c", "acc")
+        if pls_nll is None or svgp_nll is None:
+            continue
+        pls_acc = float("nan") if pls_acc is None else pls_acc
+        svgp_acc = float("nan") if svgp_acc is None else svgp_acc
+        winner = "**pls**" if pls_nll <= svgp_nll else "svgp"
+        rows.append(
+            f"| {curve} | {pls_nll:.4f} | {svgp_nll:.4f} | {pls_acc:.3f} | "
+            f"{svgp_acc:.3f} | {winner} |"
+        )
+    if not rows:
+        return ""
+    wins = sum("**pls**" in r for r in rows)
+    return "\n".join(
+        [
+            "## Curve classification (FULL reference config, test split)\n",
+            "Bernoulli labels drawn from the squashed curve (low Bayes\n"
+            "accuracy by construction — both models hover near chance on\n"
+            "accuracy; NLL separates them). PLS-ONB (sigmoid) vs SVGP with\n"
+            f"a Bernoulli likelihood: PLS wins NLL on {wins}/{len(rows)} curves.\n",
+            "| curve | pls nll | svgp nll | pls acc | svgp acc | nll winner |",
+            "|---|---|---|---|---|---|",
+            *rows,
+            "",
+        ]
+    )
+
+
+def poisson_section() -> str:
+    """Per-curve test NLL/MSE from the round-2 FULL-config Poisson curve run
+    (both PLS bases; the reference trains no SVGP for this family)."""
+    rows = []
+    for curve in _curve_order():
+        onb_nll = _curve_metric("poisson_regression", curve, "pls-onb", "nll")
+        ipb_nll = _curve_metric("poisson_regression", curve, "pls-ipb", "nll")
+        onb_mse = _curve_metric("poisson_regression", curve, "pls-onb", "mse")
+        ipb_mse = _curve_metric("poisson_regression", curve, "pls-ipb", "mse")
+        if onb_nll is None:
+            continue
+        ipb_nll = float("nan") if ipb_nll is None else ipb_nll
+        onb_mse = float("nan") if onb_mse is None else onb_mse
+        ipb_mse = float("nan") if ipb_mse is None else ipb_mse
+        rows.append(
+            f"| {curve} | {onb_nll:.4f} | {ipb_nll:.4f} | {onb_mse:.4f} | "
+            f"{ipb_mse:.4f} |"
+        )
+    if not rows:
+        return ""
+    return "\n".join(
+        [
+            "## Curve Poisson regression (FULL reference config, test split)\n",
+            "Poisson counts with a square link; PLS with the Poisson cost on\n"
+            "both bases (the reference protocol trains no SVGP here —\n"
+            "reference `experiments/curves/poisson_regression/main.py`).\n",
+            "| curve | pls-onb nll | pls-ipb nll | pls-onb mse | pls-ipb mse |",
+            "|---|---|---|---|---|",
+            *rows,
+            "",
+        ]
+    )
+
+
+def mixture_section() -> str:
+    """Multimodal (mixture-likelihood) capability summary: the reference
+    demonstrates this only as a GIF (reference README.md:33-36); here the
+    saved particle clouds are quantified by
+    ``experiments/curves/mixture_likelihood/summarise.py`` — particles per
+    mode and estimated mode separation (true shift 20). A Gaussian
+    variational posterior (SVGP) cannot represent this at all."""
+    out = []
+    for suffix, title in (
+        ("", "Reference-protocol run (explicit Euler, 3-point step search)"),
+        (
+            "_wide",
+            "Widened-grid rerun of curve10 (6-point search down to 1e-5; the "
+            "reference's 3-point grid keeps no candidate there — every "
+            "candidate diverges)",
+        ),
+    ):
+        path = os.path.join(ROOT, "results", f"mixture_summary{suffix}.md")
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            table = f.read().strip()
+        out += [f"### {title}\n", table, ""]
+    if not out:
+        return ""
+    return "\n".join(
+        [
+            "## Multimodal regression (mixture likelihood, FULL reference config)\n",
+            "Unknown-constant-shift data (Bernoulli presence p=0.5, shift 20):\n"
+            "the posterior over functions is bimodal, and a particle sampler\n"
+            "must keep both modes populated — a structural capability a\n"
+            "Gaussian variational family (SVGP) lacks. Split and separation\n"
+            "computed from the saved particles by\n"
+            "`experiments/curves/mixture_likelihood/summarise.py`.\n",
+        ]
+        + out
+    )
+
+
 def _headline_dir(task: str) -> str | None:
     """The headline outputs dir for a UCI task, in decreasing preference:
     the residual-smoothed-cost run (outputs_precond_smooth, classification
@@ -413,6 +542,9 @@ def main() -> None:
         ),
         nystrom_section(),
         curves_section(),
+        curve_classification_section(),
+        poisson_section(),
+        mixture_section(),
         profiler_section(),
     ]
     sections = [s for s in sections if s]
