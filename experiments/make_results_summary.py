@@ -260,13 +260,17 @@ def mixture_section() -> str:
     mode and estimated mode separation (true shift 20). A Gaussian
     variational posterior (SVGP) cannot represent this at all."""
     out = []
-    for suffix, title in (
-        ("", "Reference-protocol run (explicit Euler, 3-point step search)"),
+    for suffix, title, body in (
+        ("", "Reference-protocol run (explicit Euler, 3-point step search)", ""),
         (
             "_wide",
-            "Widened-grid rerun of curve10 (6-point search down to 1e-5; the "
-            "reference's 3-point grid keeps no candidate there — every "
-            "candidate diverges)",
+            "Widened-grid rerun of curve10",
+            "6-point step search down to 1e-5 (`config_wide.yaml`); the\n"
+            "reference's 3-point grid keeps no candidate on curve10 — every\n"
+            "candidate diverges. The kept run (eta 6.3e-5) converges in\n"
+            "energy but settles in a mixed-assignment cloud rather than two\n"
+            "clean modes (estimated separation below the true shift); a\n"
+            "10x-longer horizon reaches the same early-stopped plateau.\n",
         ),
     ):
         path = os.path.join(ROOT, "results", f"mixture_summary{suffix}.md")
@@ -274,7 +278,7 @@ def mixture_section() -> str:
             continue
         with open(path) as f:
             table = f.read().strip()
-        out += [f"### {title}\n", table, ""]
+        out += [f"### {title}\n"] + ([body] if body else []) + [table, ""]
     if not out:
         return ""
     return "\n".join(
