@@ -100,11 +100,12 @@ def summarise_curve(curve_function, config: dict, outputs_dirname: str) -> dict 
     # f=curve+shift, so these cluster at {mean(curve), mean(curve)+shift}.
     per_particle = jnp.mean(preds, axis=0)
     shift = float(data_config["bernoulli_shift_true"])
-    # Assign each particle to the nearer mode anchor. Anchor the lower mode
-    # at the lowest particle (the curve mode) rather than trusting a fixed
-    # origin: the curves have different vertical offsets.
-    lo = float(jnp.min(per_particle))
-    threshold = lo + shift / 2.0
+    # Assign each particle to the nearer mode anchor. The observations are
+    # UNSHIFTED (get_experiment_data adds the shift only to y_untransformed),
+    # so the train-data level anchors the curve mode — robust even if the
+    # cloud collapses entirely into one mode.
+    anchor = float(jnp.mean(experiment_data.train.y))
+    threshold = anchor + shift / 2.0
     upper = per_particle >= threshold
     n_upper = int(jnp.sum(upper))
     n_lower = int(per_particle.shape[0]) - n_upper

@@ -312,12 +312,15 @@ def _headline_dir(task: str) -> str | None:
     precond = os.path.join(base, "outputs_precond")
     mapdir = os.path.join(base, "outputs_precond_map")
     smooth = os.path.join(base, "outputs_precond_smooth")
-    if os.path.isdir(smooth) and n_results(smooth) >= n_results(mapdir) > 0:
-        return smooth
-    if os.path.isdir(mapdir) and n_results(mapdir) >= n_results(precond) > 0:
-        return mapdir
-    if os.path.isdir(precond) and n_results(precond) > 0:
-        return precond
+    counts = {d: n_results(d) for d in (smooth, mapdir, precond)}
+    best = max(counts.values())
+    if best == 0:
+        return None
+    # Most-preferred candidate that is at least as complete as every
+    # less-preferred one (i.e. has the maximal result count).
+    for d in (smooth, mapdir, precond):
+        if counts[d] == best:
+            return d
     return None
 
 

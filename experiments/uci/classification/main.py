@@ -217,7 +217,11 @@ def main(
         cost = make_smoothed_bernoulli_cost(
             y_train=experiment_data.train.y, smoothing_std=smoothing_std
         )
-    if m0_mode == "map":
+    if m0_mode == "map" and not os.path.exists(
+        os.path.join(models_path, "pls-onb.pkl")
+    ):
+        # Only fit when actually training: on the load path load_pls restores
+        # the checkpointed mean constant and the Newton fit would be discarded.
         m0_map = fit_mean_constant_map(basis=onb_basis, cost=cost)
         print(f"  [mean-constant map] m0={m0_map:.4f}", flush=True)
         m0_candidates = [m0_map]

@@ -261,17 +261,19 @@ def main(
     # constant alone is worth 9x predictive MSE under the r-kernel prior,
     # see models/mean_constant.py)
     if pls_config.get("mean_constant") == "map":
-        m0_gaussian = fit_mean_constant_map(basis=onb_basis, cost=gaussian_cost)
-        onb_basis = onb_basis.replace(mean_constant=m0_gaussian)
-        m0_student = fit_mean_constant_map(
-            basis=student_onb_basis, cost=student_cost
-        )
-        student_onb_basis = student_onb_basis.replace(mean_constant=m0_student)
-        print(
-            f"  [mean-constant map] gaussian m0={m0_gaussian:.4f} "
-            f"student m0={m0_student:.4f}",
-            flush=True,
-        )
+        # Only fit for models that will actually train: on the load path
+        # load_pls restores the checkpointed mean constant and the Newton
+        # fit would be discarded (matters for metrics-only / gap-fill reruns).
+        if not os.path.exists(os.path.join(models_path, "pls-onb.pkl")):
+            m0_gaussian = fit_mean_constant_map(basis=onb_basis, cost=gaussian_cost)
+            onb_basis = onb_basis.replace(mean_constant=m0_gaussian)
+            print(f"  [mean-constant map] gaussian m0={m0_gaussian:.4f}", flush=True)
+        if not os.path.exists(os.path.join(models_path, "pls-student-onb.pkl")):
+            m0_student = fit_mean_constant_map(
+                basis=student_onb_basis, cost=student_cost
+            )
+            student_onb_basis = student_onb_basis.replace(mean_constant=m0_student)
+            print(f"  [mean-constant map] student m0={m0_student:.4f}", flush=True)
     pls_dict = {
         "pls-onb": PLS(basis=onb_basis, cost=gaussian_cost),
         "pls-student-onb": PLS(basis=student_onb_basis, cost=student_cost),

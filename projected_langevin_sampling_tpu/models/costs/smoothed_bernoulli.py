@@ -120,12 +120,19 @@ def make_smoothed_bernoulli_cost(
             "(the softplus/sigmoid quadrature identities are sigmoid-specific)"
         )
     nodes, weights = np.polynomial.hermite.hermgauss(number_of_quadrature_nodes)
+    # Promote integer {0,1} labels to float: casting the quadrature constants
+    # to an int dtype would truncate most Hermite weights to zero and
+    # silently destroy the rule.
     y_train = jnp.asarray(y_train)
+    dtype = y_train.dtype if jnp.issubdtype(y_train.dtype, jnp.floating) else (
+        jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    )
+    y_train = y_train.astype(dtype)
     return SmoothedBernoulliCost(
         y_train=y_train,
-        smoothing_std=jnp.asarray(smoothing_std, dtype=y_train.dtype),
-        gh_nodes=jnp.asarray(nodes, dtype=y_train.dtype),
-        gh_weights=jnp.asarray(weights, dtype=y_train.dtype),
+        smoothing_std=jnp.asarray(smoothing_std, dtype=dtype),
+        gh_nodes=jnp.asarray(nodes, dtype=dtype),
+        gh_weights=jnp.asarray(weights, dtype=dtype),
         link_function=link_function,
     )
 

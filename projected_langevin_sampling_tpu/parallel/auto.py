@@ -58,7 +58,12 @@ def parallel_train_pls(
     else:
         basis = pls_or_basis
     exit_map = None
-    if isinstance(basis, InducingPointBasis) and discretisation != "euler":
+    # Same rerouting condition as train_pls (training.py): the fused general
+    # kernel is ONB-only, so IPB + general_fused also goes through the exact
+    # W-space view — keeping this path tier-identical to the single-device one.
+    if isinstance(basis, InducingPointBasis) and (
+        discretisation != "euler" or fast_path == "general_fused"
+    ):
         view, s_mat, s_inv = ipb_w_space_view(basis)
         basis = view
         particles = s_inv @ particles
