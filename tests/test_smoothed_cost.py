@@ -122,3 +122,27 @@ def test_residual_std_rejects_reference_scaling():
     basis, kernel, x, _ = _basis("reference")
     with pytest.raises(ValueError, match="nystrom"):
         residual_smoothing_std(basis, kernel(x, diag=True))
+
+
+def test_integer_labels_promote_to_float():
+    """Int {0,1} labels must not truncate the Gauss-Hermite rule to int
+    (most 16-node weights round to zero — the cost would silently become
+    ~ -y*F). The factory promotes everything to a float dtype and the cost
+    matches the float-label construction exactly."""
+    y, F, s = _data()
+    smoothed_f = make_smoothed_bernoulli_cost(y_train=y, smoothing_std=s)
+    smoothed_i = make_smoothed_bernoulli_cost(
+        y_train=y.astype(jnp.int32), smoothing_std=s
+    )
+    assert jnp.issubdtype(smoothed_i.gh_weights.dtype, jnp.floating)
+    assert jnp.issubdtype(smoothed_i.y_train.dtype, jnp.floating)
+    np.testing.assert_allclose(
+        np.asarray(smoothed_i.calculate_cost(F)),
+        np.asarray(smoothed_f.calculate_cost(F)),
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(smoothed_i.calculate_cost_derivative(F)),
+        np.asarray(smoothed_f.calculate_cost_derivative(F)),
+        rtol=1e-12,
+    )
