@@ -249,3 +249,29 @@ def test_animate_runner_writes_gif(tmp_path):
     )
     gif = os.path.join(tmp_path, "pls-t.gif")
     assert os.path.exists(gif) and os.path.getsize(gif) > 0
+
+
+def test_headline_dir_preference(tmp_path, monkeypatch):
+    """_headline_dir picks the most-preferred protocol dir among those tied
+    for the maximal result count — and must not drop a complete smooth run
+    just because the map run is absent."""
+    from experiments import make_results_summary as mrs
+
+    def make(dirname, n):
+        for i in range(n):
+            d = tmp_path / "experiments" / "uci" / "classification" / dirname / str(i) / "results" / "ds" / "pls-onb"
+            d.mkdir(parents=True, exist_ok=True)
+            (d / "nll_test.csv").write_text("dataset,pls-onb\nds,0.5\n")
+
+    monkeypatch.setattr(mrs, "ROOT", str(tmp_path))
+    assert mrs._headline_dir("classification") is None
+    make("outputs_precond", 3)
+    assert mrs._headline_dir("classification").endswith("outputs_precond")
+    make("outputs_precond_map", 3)
+    assert mrs._headline_dir("classification").endswith("outputs_precond_map")
+    # smooth run complete while map is absent in a fresh checkout: smooth wins
+    make("outputs_precond_smooth", 3)
+    assert mrs._headline_dir("classification").endswith("outputs_precond_smooth")
+    # an incomplete more-preferred run must NOT shadow a more complete one
+    make("outputs_precond_map", 5)
+    assert mrs._headline_dir("classification").endswith("outputs_precond_map")
