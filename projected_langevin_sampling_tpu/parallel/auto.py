@@ -101,6 +101,16 @@ def parallel_train_pls(
                 fast_path,
                 particles_bytes=particles.dtype.itemsize * particles.size,
             )
+    # The whole-run fused Pallas trainers are opaque custom calls that XLA's
+    # SPMD partitioner cannot shard (side-effecting custom-call HLO); the
+    # unfused parent tier computes the same stochastic process and partitions
+    # cleanly. Fused multi-chip execution belongs to the explicit shard_map
+    # path (sharded.py), where partitioning is manual.
+    tier = {
+        "general_fused": "off",
+        "spectral_fused": "spectral",
+        "quadratic_fused": "quadratic",
+    }.get(tier, tier)
     spectral_system = (
         jax.device_put(spectral_system_host(basis, cost, discretisation), replicated)
         if tier in ("spectral", "spectral_fused")

@@ -222,3 +222,45 @@ def test_harness_parallel_config_routes_through_mesh():
             rtol=1e-8, atol=1e-10, err_msg=discretisation,
         )
         np.testing.assert_allclose(sharded_e, single_e, rtol=1e-8, atol=1e-10)
+
+
+def test_parallel_ipb_general_fused_matches_single_device():
+    """IPB + ``fast_path="general_fused"`` (euler): parallel_train_pls must
+    apply the same W-space rerouting train_pls does, so the two paths resolve
+    to the same tier and produce the same chain (code-review r3 finding)."""
+    from projected_langevin_sampling_tpu.parallel import parallel_train_pls
+    from projected_langevin_sampling_tpu.models.pls import PLS
+    from projected_langevin_sampling_tpu.utils.prng import as_key
+
+    x, y, z, y_induce, kernel = _setup()
+    y_cls = jnp.asarray((np.asarray(y) > 0).astype(np.float64))
+    basis = build_inducing_point_basis(kernel, z, y_induce, x)
+    from projected_langevin_sampling_tpu.models.link_functions import (
+        SigmoidLinkFunction,
+    )
+
+    cost = BernoulliCost(y_train=y_cls, link_function=SigmoidLinkFunction())
+    pls = PLS(basis=basis, cost=cost)
+    particles = pls.initialise_particles(16, key=0)
+    mesh = make_mesh(1, 8)
+    sharded = parallel_train_pls(
+        mesh, pls, particles=particles, number_of_epochs=10,
+        step_size=1e-3, key=as_key(7), fast_path="general_fused",
+    )
+    # GSPMD cannot partition the opaque fused Pallas custom call, so the
+    # parallel path clamps general_fused -> off on the SAME rerouted W-space
+    # view train_pls would use; the single-device contract is therefore the
+    # W-space off-tier chain mapped back through S.
+    from projected_langevin_sampling_tpu.training import (
+        _train_pls_scan,
+        ipb_w_space_view,
+    )
+
+    view, s_mat, s_inv = ipb_w_space_view(basis)
+    single = _train_pls_scan(
+        view, cost, s_inv @ particles, as_key(7), 1e-3, float("inf"), 10, "off"
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.particles), np.asarray(s_mat @ single.particles),
+        rtol=1e-8, atol=1e-10,
+    )
