@@ -24,7 +24,6 @@ from projected_langevin_sampling_tpu.parallel.mesh import PARTICLE_AXIS
 from projected_langevin_sampling_tpu.training import (
     TrainResult,
     _train_pls_scan,
-    resolve_fast_path,
     spectral_system_host,
 )
 from projected_langevin_sampling_tpu.utils.prng import KeyArray, as_key
@@ -48,22 +47,20 @@ def parallel_train_pls(
     everything else replicated; same semantics as ``training.train_pls``
     (including the IPB -> W-space ONB rerouting for the non-Euler
     discretisations, and the chunked driver for long runs)."""
-    from projected_langevin_sampling_tpu.models.basis.inducing_point import (
-        InducingPointBasis,
+    from projected_langevin_sampling_tpu.training import (
+        ipb_w_space_view,
+        needs_w_space_reroute,
+        resolve_tier,
     )
-    from projected_langevin_sampling_tpu.training import ipb_w_space_view
 
     if cost is None:  # called with a PLS facade
         basis, cost = pls_or_basis.basis, pls_or_basis.cost
     else:
         basis = pls_or_basis
     exit_map = None
-    # Same rerouting condition as train_pls (training.py): the fused general
-    # kernel is ONB-only, so IPB + general_fused also goes through the exact
-    # W-space view — keeping this path tier-identical to the single-device one.
-    if isinstance(basis, InducingPointBasis) and (
-        discretisation != "euler" or fast_path == "general_fused"
-    ):
+    # Same rerouting + tier resolution as train_pls (shared helpers in
+    # training.py), so the two entry points cannot drift.
+    if needs_w_space_reroute(basis, fast_path, discretisation):
         view, s_mat, s_inv = ipb_w_space_view(basis)
         basis = view
         particles = s_inv @ particles
@@ -73,34 +70,13 @@ def parallel_train_pls(
     particles = jax.device_put(particles, particle_sharding)
     basis = jax.device_put(basis, replicated)
     cost = jax.device_put(cost, replicated)
-    if discretisation == "euler":
-        tier = resolve_fast_path(
-            basis,
-            cost,
-            fast_path,
-            particles_bytes=particles.dtype.itemsize * particles.size,
-        )
-    else:
-        # mirror train_pls's non-Euler tier resolution (auto -> spectral for
-        # Gaussian-identity preconditioned, else the general path)
-        from projected_langevin_sampling_tpu.training import (
-            spectral_fast_path_available,
-        )
-
-        if fast_path == "auto":
-            tier = (
-                "spectral"
-                if discretisation == "preconditioned"
-                and spectral_fast_path_available(basis, cost)
-                else "off"
-            )
-        else:
-            tier = resolve_fast_path(
-                basis,
-                cost,
-                fast_path,
-                particles_bytes=particles.dtype.itemsize * particles.size,
-            )
+    tier = resolve_tier(
+        basis,
+        cost,
+        fast_path,
+        discretisation,
+        particles_bytes=particles.dtype.itemsize * particles.size,
+    )
     # The whole-run fused Pallas trainers are opaque custom calls that XLA's
     # SPMD partitioner cannot shard (side-effecting custom-call HLO); the
     # unfused parent tier computes the same stochastic process and partitions

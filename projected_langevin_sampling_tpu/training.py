@@ -222,6 +222,50 @@ def resolve_fast_path(basis, cost, fast_path: str, particles_bytes: int | None =
     return fast_path
 
 
+def resolve_tier(
+    basis, cost, fast_path: str, discretisation: str, particles_bytes: int
+) -> str:
+    """Single source of truth for the (fast_path, discretisation) -> tier
+    mapping, shared by ``train_pls`` and ``parallel.parallel_train_pls`` (the
+    GSPMD path additionally clamps fused tiers to their partitionable
+    parents). Raises on combinations no tier implements."""
+    if discretisation == "euler":
+        return resolve_fast_path(
+            basis, cost, fast_path, particles_bytes=particles_bytes
+        )
+    allowed = NON_EULER_TIERS[discretisation]
+    if fast_path == "auto":
+        return (
+            "spectral"
+            if discretisation == "preconditioned"
+            and spectral_fast_path_available(basis, cost)
+            else "off"
+        )
+    if fast_path in allowed:
+        # general_fused may still fall back to "off" on cost/VMEM limits
+        return resolve_fast_path(
+            basis, cost, fast_path, particles_bytes=particles_bytes
+        )
+    raise ValueError(
+        f"fast_path={fast_path!r} does not implement "
+        f"discretisation={discretisation!r} (allowed: {allowed} or 'auto')"
+    )
+
+
+def needs_w_space_reroute(basis, fast_path: str, discretisation: str) -> bool:
+    """True when an IPB model must run through the exact W-space ONB view
+    (``ipb_w_space_view``): the fused general kernel and every non-Euler
+    discretisation are ONB-only. Shared by the single-device and parallel
+    entry points so the two cannot drift."""
+    from projected_langevin_sampling_tpu.models.basis.inducing_point import (
+        InducingPointBasis,
+    )
+
+    return isinstance(basis, InducingPointBasis) and (
+        discretisation != "euler" or fast_path == "general_fused"
+    )
+
+
 def _quadratic_system(basis, cost):
     """Build (A, b, energy_matrix, energy_bias, energy_const, shared) inside
     jit — the N-sized contractions run ONCE per compiled call, not per step."""
@@ -1046,9 +1090,7 @@ def train_pls(
 
     basis, cost = pls.basis, pls.cost
     exit_map = None
-    if isinstance(basis, InducingPointBasis) and (
-        discretisation != "euler" or fast_path == "general_fused"
-    ):
+    if needs_w_space_reroute(basis, fast_path, discretisation):
         # the W-space ONB view extends the ONB-only paths (fused general
         # kernel, non-Euler discretisations) to IPB — exact Euler-trajectory
         # correspondence U = S W, identical energies
@@ -1057,35 +1099,13 @@ def train_pls(
         particles = s_inv @ particles
         exit_map = lambda u: s_mat @ u
 
-    if discretisation == "euler":
-        tier = resolve_fast_path(
-            basis,
-            cost,
-            fast_path,
-            particles_bytes=particles.dtype.itemsize * particles.size,
-        )
-    else:
-        allowed = NON_EULER_TIERS[discretisation]
-        if fast_path == "auto":
-            tier = (
-                "spectral"
-                if discretisation == "preconditioned"
-                and spectral_fast_path_available(basis, cost)
-                else "off"
-            )
-        elif fast_path in allowed:
-            # general_fused may still fall back to "off" on cost/VMEM limits
-            tier = resolve_fast_path(
-                basis,
-                cost,
-                fast_path,
-                particles_bytes=particles.dtype.itemsize * particles.size,
-            )
-        else:
-            raise ValueError(
-                f"fast_path={fast_path!r} does not implement "
-                f"discretisation={discretisation!r} (allowed: {allowed} or 'auto')"
-            )
+    tier = resolve_tier(
+        basis,
+        cost,
+        fast_path,
+        discretisation,
+        particles_bytes=particles.dtype.itemsize * particles.size,
+    )
     # the spectral factorisation is hoisted out of jit so the eigh runs in
     # host fp64 (the TPU's device eigh is reduced-precision)
     spectral_system = (
