@@ -615,6 +615,7 @@ def main() -> None:
             "tests/test_dirichlet.py). `breast_wdbc` rows are REAL data.",
         ),
         ablation_section(),
+        ablation_section("regression"),
         nystrom_section(),
         curves_section(),
         curve_classification_section(),
