@@ -187,6 +187,38 @@ def main(
         plot_title="PLS for Multi-modal Regression",
         particles=init_particles,
     )
+    if include_gif:
+        # the reference README's multimodal animation (reference
+        # ``main.py:305-335``): a fresh short run from a narrower bimodal
+        # init at the dedicated gif step size, snapshots -> GIF
+        from experiments.runners import animate_pls_1d_particles_runner
+
+        gif_init = generate_init_particles(
+            initial_particle_noise=pls_config["initial_particle_noise"],
+            approximation_dimension=onb_basis.approximation_dimension,
+            number_of_particles=pls_config["number_of_particles"],
+            initial_particles_lower=pls_config["initial_particles_lower"],
+            initial_particles_shift_scale=pls_config[
+                "gif_initial_particles_shift_scale"
+            ],
+            bernoulli_shift_true=data_config["bernoulli_shift_true"],
+            basis_dimension=onb_basis.x_induce.shape[0],
+            basis_eigenvectors=onb_basis.eigenvectors,
+            basis_eigenvalues=onb_basis.eigenvalues,
+            key=pls_config["seed"],
+        )
+        animate_pls_1d_particles_runner(
+            pls=pls,
+            particles=gif_init,
+            particle_name=pls.name,
+            experiment_data=experiment_data,
+            animate_1d_path=plot_curve_path,
+            step_size=float(pls_config["gif_lr"]),
+            number_of_epochs=int(pls_config["gif_number_of_epochs"]),
+            seed=pls_config["seed"],
+            christmas_colours=pls_config.get("christmas_colours", False),
+            animate_1d_untransformed_path=plot_curve_path,
+        )
 
 
 if __name__ == "__main__":
