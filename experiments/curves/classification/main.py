@@ -152,7 +152,7 @@ def main(
     }
     plot_title = "PLS for Binary Classification"
     for pls_name, pls in pls_dict.items():
-        particles, _, _ = train_or_load_pls(
+        particles, best_lr, number_of_epochs = train_or_load_pls(
             pls=pls,
             pls_name=pls_name,
             experiment_data=experiment_data,
@@ -171,6 +171,26 @@ def main(
             coverage=0.95,
             particles=particles,
         )
+        if include_gif and best_lr is not None:
+            # reference classification main's gif branch (re-run at the
+            # selected step size, snapshots -> GIF)
+            from experiments.runners import animate_pls_1d_particles_runner
+
+            animate_pls_1d_particles_runner(
+                pls=pls,
+                particles=pls.initialise_particles(
+                    number_of_particles=pls_config["number_of_particles"],
+                    noise_only=pls_config["initial_particles_noise_only"],
+                    seed=pls_config["seed"],
+                ),
+                particle_name=pls_name,
+                experiment_data=experiment_data,
+                animate_1d_path=plot_curve_path,
+                step_size=best_lr,
+                number_of_epochs=number_of_epochs,
+                seed=pls_config["seed"],
+                christmas_colours=pls_config.get("christmas_colours", False),
+            )
 
     # SVGP baseline with probit-Bernoulli likelihood
     svgp, losses, _ = train_svgp_runner(
