@@ -252,6 +252,14 @@ def poisson_section() -> str:
     )
 
 
+def _n_results(d: str) -> int:
+    import glob
+
+    return len(
+        glob.glob(os.path.join(d, "[0-9]*", "results", "*", "*", "nll_test.csv"))
+    )
+
+
 ABLATION_PROTOCOLS = (
     ("outputs", "reference"),
     ("outputs_precond", "+nystrom+precond"),
@@ -274,6 +282,11 @@ def ablation_section(task: str = "classification", model: str = "pls-onb") -> st
     svgp: dict[str, str] = {}
     for dirname, label in ABLATION_PROTOCOLS:
         outputs = os.path.join(base, dirname)
+        if dirname == "outputs_precond_smooth" and _n_results(
+            outputs + "_cpu"
+        ) > _n_results(outputs):
+            # host-CPU fallback sweep from the TPU-outage window (same config)
+            outputs = outputs + "_cpu"
         if not os.path.isdir(outputs):
             continue
         long = collect(outputs, "test")
@@ -368,24 +381,22 @@ def _headline_dir(task: str) -> str | None:
     only), then the mean-constant-MAP run (outputs_precond_map), then the
     plain preconditioned run — each gated on being at least as complete as
     the next-best candidate."""
-    import glob
-
-    def n_results(d):
-        return len(
-            glob.glob(os.path.join(d, "[0-9]*", "results", "*", "*", "nll_test.csv"))
-        )
-
+    n_results = _n_results
     base = os.path.join(ROOT, f"experiments/uci/{task}")
     precond = os.path.join(base, "outputs_precond")
     mapdir = os.path.join(base, "outputs_precond_map")
     smooth = os.path.join(base, "outputs_precond_smooth")
-    counts = {d: n_results(d) for d in (smooth, mapdir, precond)}
+    # Host-CPU fallback sweep (same config/protocol, fp32) run during the
+    # round-3 TPU-tunnel outage — preferred over the non-smoothed protocols
+    # but below the on-chip smooth run when that one is as complete.
+    smooth_cpu = os.path.join(base, "outputs_precond_smooth_cpu")
+    counts = {d: n_results(d) for d in (smooth, smooth_cpu, mapdir, precond)}
     best = max(counts.values())
     if best == 0:
         return None
     # Most-preferred candidate that is at least as complete as every
     # less-preferred one (i.e. has the maximal result count).
-    for d in (smooth, mapdir, precond):
+    for d in (smooth, smooth_cpu, mapdir, precond):
         if counts[d] == best:
             return d
     return None
@@ -405,7 +416,7 @@ def headline_vs_svgp_section(
     long = collect(base, "test")
     if long.empty:
         return ""
-    is_smooth = base.endswith("_smooth")
+    is_smooth = base.endswith(("_smooth", "_smooth_cpu"))
     is_map = base.endswith("_map") or is_smooth
     config_tag = "_smooth" if is_smooth else ("_map" if is_map else "")
     out = [
@@ -428,7 +439,14 @@ def headline_vs_svgp_section(
             if is_smooth
             else ""
         )
-        + ".\nLower nll/mse wins, higher acc/auc/f1 wins; seed count in parens.\n",
+        + ".\nLower nll/mse wins, higher acc/auc/f1 wins; seed count in parens.\n"
+        + (
+            "\n*(host-CPU fp32 run of the same config — the TPU tunnel was"
+            " down for the tail of round 3; replace with the on-chip sweep"
+            " when `outputs_precond_smooth` completes.)*\n"
+            if base.endswith("_smooth_cpu")
+            else ""
+        ),
     ]
     wins = {m: 0 for m in metrics}
     ties = {m: 0 for m in metrics}
