@@ -295,11 +295,14 @@ def main():
     basis, cost = build()
     # long scan: the axon tunnel adds ~35ms fixed dispatch latency per
     # execution, which would dominate a short run; production Langevin runs
-    # are 1e5-1e7 steps (reference uci config maximum_number_of_steps)
-    n_steps = 20_000
+    # are 1e5-1e7 steps (reference uci config maximum_number_of_steps).
+    # On CPU (forced, or the dead-tunnel fallback) there is no dispatch
+    # latency to amortise — keep the run short so the bench always returns.
+    on_cpu = jax.default_backend() == "cpu"
+    n_steps = 2_000 if on_cpu else 20_000
     # the fused Pallas tier needs the TPU's hardware PRNG; fall back to the
     # XLA spectral tier elsewhere
-    tier = "spectral_fused" if jax.default_backend() != "cpu" else "spectral"
+    tier = "spectral" if on_cpu else "spectral_fused"
     r = _time_tier(basis, cost, tier, n_steps)
     ups = r["updates_per_sec"]
 
@@ -325,6 +328,42 @@ def main():
     )
 
 
+def _ensure_live_backend(timeout_s: int = 180) -> None:
+    """Fall back to CPU when the registered hardware backend cannot start.
+
+    The axon TPU tunnel occasionally dies; with the plugin registered, the
+    first ``jax.devices()`` call then hangs indefinitely — which would hang
+    the driver's round-end bench run. Probe backend init in a subprocess
+    under a timeout and force CPU on failure: honest (slower) numbers beat
+    a bench that never returns. The JSON line's ``device`` field records
+    which backend actually ran.
+    """
+    import os
+    import subprocess
+
+    try:
+        ok = (
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=timeout_s,
+                capture_output=True,
+                env=os.environ,
+            ).returncode
+            == 0
+        )
+    except subprocess.TimeoutExpired:
+        ok = False
+    if not ok:
+        import jax
+
+        print(
+            "hardware backend failed to initialise within "
+            f"{timeout_s}s: falling back to CPU",
+            file=sys.stderr,
+        )
+        jax.config.update("jax_platforms", "cpu")
+
+
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--table", action="store_true", help="per-tier/cost table")
@@ -332,6 +371,7 @@ if __name__ == "__main__":
         "--predict", action="store_true", help="serving-path predict throughput"
     )
     args = parser.parse_args()
+    _ensure_live_backend()
     if args.table:
         run_table()
     elif args.predict:
