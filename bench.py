@@ -328,42 +328,6 @@ def main():
     )
 
 
-def _ensure_live_backend(timeout_s: int = 180) -> None:
-    """Fall back to CPU when the registered hardware backend cannot start.
-
-    The axon TPU tunnel occasionally dies; with the plugin registered, the
-    first ``jax.devices()`` call then hangs indefinitely — which would hang
-    the driver's round-end bench run. Probe backend init in a subprocess
-    under a timeout and force CPU on failure: honest (slower) numbers beat
-    a bench that never returns. The JSON line's ``device`` field records
-    which backend actually ran.
-    """
-    import os
-    import subprocess
-
-    try:
-        ok = (
-            subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                timeout=timeout_s,
-                capture_output=True,
-                env=os.environ,
-            ).returncode
-            == 0
-        )
-    except subprocess.TimeoutExpired:
-        ok = False
-    if not ok:
-        import jax
-
-        print(
-            "hardware backend failed to initialise within "
-            f"{timeout_s}s: falling back to CPU",
-            file=sys.stderr,
-        )
-        jax.config.update("jax_platforms", "cpu")
-
-
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--table", action="store_true", help="per-tier/cost table")
@@ -371,7 +335,15 @@ if __name__ == "__main__":
         "--predict", action="store_true", help="serving-path predict throughput"
     )
     args = parser.parse_args()
-    _ensure_live_backend()
+    # a dead axon tunnel would hang the first device query (and with it the
+    # driver's round-end bench run); probe + fall back to honest CPU numbers
+    from projected_langevin_sampling_tpu.utils import ensure_live_backend
+
+    if ensure_live_backend():
+        print(
+            "hardware backend failed to initialise: falling back to CPU",
+            file=sys.stderr,
+        )
     if args.table:
         run_table()
     elif args.predict:

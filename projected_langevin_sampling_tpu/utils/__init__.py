@@ -1,3 +1,7 @@
+from projected_langevin_sampling_tpu.utils.backend import (
+    backend_initialises,
+    ensure_live_backend,
+)
 from projected_langevin_sampling_tpu.utils.early_stopper import EarlyStopper
 from projected_langevin_sampling_tpu.utils.prng import (
     KeyArray,
@@ -10,6 +14,8 @@ from projected_langevin_sampling_tpu.utils.prng import (
 
 __all__ = [
     "EarlyStopper",
+    "backend_initialises",
+    "ensure_live_backend",
     "KeyArray",
     "as_key",
     "normal",
