@@ -30,9 +30,12 @@ With ``smoothing_std == 0`` both reduce exactly to ``BernoulliCost`` with the
 sigmoid link (``softplus(F) - y F == -y log p - (1 - y) log(1 - p)``), which
 ``tests/test_smoothed_cost.py`` pins.
 
-Kept as its own class (NOT a ``BernoulliCost`` subclass) so the fused-kernel
-cost dispatch in ``training.py`` (``_fused_cost_kind``) routes it to the
-generic tier instead of the plain-sigmoid fused kernel.
+Kept as its own class (NOT a ``BernoulliCost`` subclass): the fused-kernel
+dispatch ``training.general_fused_cost_spec`` tests ``isinstance(cost,
+BernoulliCost)`` BEFORE the smoothed branch, so subclassing would silently
+drop the smoothing into the plain-sigmoid fused kernel. As its own class it
+gets the dedicated ``"bernoulli_sigmoid_smoothed"`` fused cost kind (the
+16-node quadrature evaluated in-tile).
 """
 
 from __future__ import annotations
@@ -69,25 +72,35 @@ class SmoothedBernoulliCost(PLSCostMixin):
     )
     observation_noise: None = flax.struct.field(pytree_node=False, default=None)
 
+    def __post_init__(self):
+        # The quadrature identities below are sigmoid-specific; a
+        # directly-constructed instance with another link would train sigmoid
+        # math while predicting through that link. Fail at build time instead
+        # (the factory repeats this check with a friendlier message).
+        if not isinstance(self.link_function, SigmoidLinkFunction):
+            raise NotImplementedError(
+                "SmoothedBernoulliCost implements the sigmoid link only"
+            )
+
     def predict(self, prediction_samples: Array) -> Bernoulli:
         """Same moment-matched predictive as ``BernoulliCost.predict``."""
         return Bernoulli(probs=jnp.mean(prediction_samples, axis=1))
 
-    def _quadrature_points(self, F: Array) -> Array:
-        # (N, J, Q): F + sqrt(2) * s_i * node_q  (physicists' Hermite measure)
-        return (
-            F[:, :, None]
-            + jnp.sqrt(jnp.asarray(2.0, F.dtype))
-            * self.smoothing_std[:, None, None]
-            * self.gh_nodes
-        )
+    def _expected(self, F: Array, fn) -> Array:
+        """E_{z~N(0,1)}[fn(F + s z)] by Gauss-Hermite, accumulated node by
+        node so only (N, J) buffers are ever live (the (N, J, Q) tensor of
+        all quadrature points would be a Qx memory blowup of the prediction
+        matrix on the XLA/CPU path; the fused Pallas kernel does the same
+        accumulation in-tile, ``ops/pallas/general_train.py``)."""
+        scale = jnp.sqrt(jnp.asarray(2.0, F.dtype)) * self.smoothing_std[:, None]
+        acc = jnp.zeros_like(F)
+        for q in range(self.gh_nodes.shape[0]):  # static Q: unrolled at trace
+            acc = acc + self.gh_weights[q] * fn(F + scale * self.gh_nodes[q])
+        return acc / jnp.sqrt(jnp.asarray(jnp.pi, F.dtype))
 
     def calculate_cost(self, untransformed_train_prediction_samples: Array) -> Array:
         F = untransformed_train_prediction_samples
-        z = self._quadrature_points(F)
-        expected_softplus = jnp.tensordot(
-            jax.nn.softplus(z), self.gh_weights, axes=[[2], [0]]
-        ) / jnp.sqrt(jnp.asarray(jnp.pi, F.dtype))
+        expected_softplus = self._expected(F, jax.nn.softplus)
         return jnp.sum(expected_softplus - self.y_train[:, None] * F, axis=0)
 
     def calculate_cost_derivative(
@@ -98,10 +111,7 @@ class SmoothedBernoulliCost(PLSCostMixin):
                 untransformed_train_prediction_samples
             )
         F = untransformed_train_prediction_samples
-        z = self._quadrature_points(F)
-        expected_sigmoid = jnp.tensordot(
-            jax.nn.sigmoid(z), self.gh_weights, axes=[[2], [0]]
-        ) / jnp.sqrt(jnp.asarray(jnp.pi, F.dtype))
+        expected_sigmoid = self._expected(F, jax.nn.sigmoid)
         return expected_sigmoid - self.y_train[:, None]
 
 
@@ -122,11 +132,17 @@ def make_smoothed_bernoulli_cost(
     nodes, weights = np.polynomial.hermite.hermgauss(number_of_quadrature_nodes)
     # Promote integer {0,1} labels to float: casting the quadrature constants
     # to an int dtype would truncate most Hermite weights to zero and
-    # silently destroy the rule.
+    # silently destroy the rule. Floor at float32 for the same reason —
+    # bf16/f16 labels would round the 2.6e-10..0.5 Hermite weights to 8-bit
+    # mantissas and quietly degrade the 16-node rule.
     y_train = jnp.asarray(y_train)
-    dtype = y_train.dtype if jnp.issubdtype(y_train.dtype, jnp.floating) else (
-        jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    )
+    if (
+        jnp.issubdtype(y_train.dtype, jnp.floating)
+        and jnp.finfo(y_train.dtype).bits >= 32
+    ):
+        dtype = y_train.dtype
+    else:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     y_train = y_train.astype(dtype)
     return SmoothedBernoulliCost(
         y_train=y_train,

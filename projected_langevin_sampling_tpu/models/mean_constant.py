@@ -48,48 +48,95 @@ def fit_mean_constant_map(
 
     Works for any basis (the prediction map is linear in the particles, so the
     constant is added outside ``calculate_untransformed_train_prediction_samples``)
-    and any cost whose ``calculate_cost`` is differentiable. For convex costs
-    (Gaussian, Bernoulli, Poisson, Student-T) the damped Newton iteration
-    converges globally thanks to the backtracking line search; for non-convex
-    costs (MultiModal) the result is a local optimum — callers should treat
-    the mode as best-effort there.
+    and any cost whose ``calculate_cost`` is a sum of per-data-point terms
+    (every library cost is — the analytic Hessian below relies on the
+    f-Hessian being diagonal). For convex costs (Gaussian, Bernoulli,
+    Poisson) the damped Newton iteration with backtracking line search
+    converges globally; for non-convex ones (Student-T tails, MultiModal)
+    the result is a local optimum — when the Newton direction is not a
+    descent direction (indefinite Hessian) the iteration falls back to the
+    scaled gradient, so it still makes monotone progress toward a
+    stationary point.
 
     Returns the fitted constant as a Python float. The caller is expected to
     rebuild/replace the basis with ``mean_constant=m0`` before training.
+
+    Raises ``ValueError`` if the objective is non-finite at the zero start —
+    that means the cost/label configuration itself is invalid, which should
+    fail loudly rather than silently fit m0=0.
     """
     if basis.mean_constant != 0.0:
         basis = basis.replace(mean_constant=0.0)
     m_k = basis.approximation_dimension
     dtype = basis.dtype
 
+    def predict(u):  # linear in u (mean_constant forced to 0 above)
+        return basis.calculate_untransformed_train_prediction_samples(u[:, None])[:, 0]
+
+    def data_sum(f):
+        return jnp.sum(cost.calculate_cost(f[:, None]))
+
+    def prior_only(u):
+        # basis energy with cost=0 isolates the prior term (mean over the
+        # single particle is the value itself); exactly quadratic in u
+        return basis.calculate_energy_potential(
+            particles=u[:, None], cost=jnp.zeros((1,), dtype=u.dtype)
+        )
+
     def objective(w):
         m0, u = w[0], w[1:]
-        f = basis.calculate_untransformed_train_prediction_samples(u[:, None]) + m0
-        data_term = jnp.sum(cost.calculate_cost(f))
-        # basis energy with cost=0 isolates the prior term (mean over the
-        # single particle is the value itself)
-        prior_term = basis.calculate_energy_potential(
-            particles=u[:, None], cost=jnp.zeros((1,), dtype=f.dtype)
-        )
-        return data_term + prior_term
+        return data_sum(predict(u) + m0) + prior_only(u)
 
     value_and_grad = jax.jit(jax.value_and_grad(objective))
-    hessian = jax.jit(jax.hessian(objective))
+
+    # Analytic Hessian: f(w) = b_aug @ w exactly (predict is linear, zero
+    # offset), the costs' f-Hessian is diagonal (per-point sums), and the
+    # prior is quadratic — so
+    #   H(w) = b_aug^T diag(c''(f)) b_aug + blockdiag(0, P).
+    # This replaces jax.hessian's M_k+1 forward tangents through the full
+    # N-point (and quadrature-node) cost per Newton iteration with one
+    # gradient-of-gradient pass and one (N, M_k+1) matmul; peak memory drops
+    # from O(M_k * N * Q) to O(N * M_k). tests/test_mean_constant.py pins
+    # equality with jax.hessian(objective).
+    zeros_u = jnp.zeros(m_k, dtype=dtype)
+    j_u = jax.jacfwd(predict)(zeros_u)  # (N, M_k), built once
+    b_aug = jnp.concatenate(
+        [jnp.ones((j_u.shape[0], 1), dtype=dtype), j_u], axis=1
+    )
+    prior_hess = jax.hessian(prior_only)(zeros_u)  # constant (quadratic prior)
+    prior_block = (
+        jnp.zeros((m_k + 1, m_k + 1), dtype=dtype).at[1:, 1:].set(prior_hess)
+    )
+    grad_f = jax.grad(data_sum)
+    # Row sums of the f-Hessian == its diagonal for per-point-sum costs.
+    hess_diag_f = jax.jit(jax.grad(lambda f: jnp.sum(grad_f(f))))
+
+    @jax.jit
+    def hessian(w):
+        f = b_aug @ w
+        h = hess_diag_f(f)
+        return b_aug.T @ (h[:, None] * b_aug) + prior_block
 
     w = jnp.zeros(m_k + 1, dtype=dtype)
     value, grad = value_and_grad(w)
+    if not bool(jnp.isfinite(value)):
+        raise ValueError(
+            "fit_mean_constant_map: objective is non-finite at the zero "
+            "start — the cost/label configuration is invalid"
+        )
     eye = jnp.eye(m_k + 1, dtype=dtype)
     for _ in range(newton_iterations):
-        if not bool(jnp.isfinite(value)):
-            # the zero start should always be finite; bail to m0=0 if not
-            return 0.0
         if float(jnp.max(jnp.abs(grad))) < gradient_tolerance:
             break
         hess = hessian(w)
         scale = jnp.maximum(jnp.max(jnp.abs(jnp.diag(hess))), 1.0)
         step = jnp.linalg.solve(hess + damping * scale * eye, grad)
-        if not bool(jnp.all(jnp.isfinite(step))):
-            step = grad / scale  # gradient fallback on a failed solve
+        if not bool(jnp.all(jnp.isfinite(step))) or float(jnp.vdot(grad, step)) <= 0.0:
+            # failed solve, or an indefinite Hessian produced an ascent
+            # direction (possible for the non-convex costs): fall back to the
+            # scaled gradient so the line search always has a descent
+            # direction to work with
+            step = grad / scale
         # backtracking line search: halve until the objective decreases
         t = 1.0
         for _ in range(30):
@@ -100,8 +147,10 @@ def fit_mean_constant_map(
             t *= 0.5
         else:
             break  # no decrease found in 30 halvings — converged/stuck
-        if float(value) - float(value_new) < 1e-12 * max(1.0, abs(float(value))):
-            w, value, grad = w_new, value_new, grad_new
-            break
+        converged = float(value) - float(value_new) < 1e-12 * max(
+            1.0, abs(float(value))
+        )
         w, value, grad = w_new, value_new, grad_new
+        if converged:
+            break
     return float(w[0])

@@ -358,3 +358,117 @@ def test_fit_mean_constant_map_bernoulli_stationary(which):
     assert np.max(np.abs(g)) < 1e-5
     # the m0 component of the joint gradient must vanish at the returned m0
     assert abs(float(w[0]) - m0) < 1e-4 * max(1.0, abs(m0))
+
+
+@pytest.mark.parametrize("family", ["gaussian", "bernoulli", "smoothed"])
+def test_fit_mean_constant_map_analytic_hessian_matches_autograd(family):
+    """The fitter's analytic Hessian H = b_aug^T diag(c''(f)) b_aug +
+    blockdiag(0, P) relies on the prediction map being linear, the prior
+    quadratic, and every cost's f-Hessian diagonal (per-point sums). Pin all
+    three against jax.hessian of the exact objective at a random w."""
+    from projected_langevin_sampling_tpu.models.costs import (
+        make_smoothed_bernoulli_cost,
+        residual_smoothing_std,
+    )
+
+    x, y, kernel, z = _data(seed=5)
+    basis = _onb(kernel, z, x, scaling="nystrom")
+    labels = (y > 0).astype(y.dtype)
+    if family == "gaussian":
+        cost = GaussianCost(y_train=y, observation_noise=jnp.asarray(0.25))
+    elif family == "bernoulli":
+        cost = BernoulliCost(y_train=labels, link_function=SigmoidLinkFunction())
+    else:
+        cost = make_smoothed_bernoulli_cost(
+            y_train=labels,
+            smoothing_std=residual_smoothing_std(basis, kernel(x, x, diag=True)),
+        )
+
+    def predict(u):
+        return basis.calculate_untransformed_train_prediction_samples(u[:, None])[:, 0]
+
+    def data_sum(f):
+        return jnp.sum(cost.calculate_cost(f[:, None]))
+
+    def prior_only(u):
+        return basis.calculate_energy_potential(
+            particles=u[:, None], cost=jnp.zeros((1,), dtype=u.dtype)
+        )
+
+    def objective(w):
+        return data_sum(predict(w[1:]) + w[0]) + prior_only(w[1:])
+
+    m_k = basis.approximation_dimension
+    rng = np.random.default_rng(11)
+    w = jnp.asarray(rng.normal(scale=0.3, size=m_k + 1), basis.dtype)
+
+    zeros_u = jnp.zeros(m_k, dtype=basis.dtype)
+    j_u = jax.jacfwd(predict)(zeros_u)
+    b_aug = jnp.concatenate([jnp.ones((j_u.shape[0], 1), basis.dtype), j_u], axis=1)
+    prior_block = (
+        jnp.zeros((m_k + 1, m_k + 1), basis.dtype)
+        .at[1:, 1:]
+        .set(jax.hessian(prior_only)(zeros_u))
+    )
+    f = b_aug @ w
+    h = jax.grad(lambda fv: jnp.sum(jax.grad(data_sum)(fv)))(f)
+    analytic = b_aug.T @ (h[:, None] * b_aug) + prior_block
+    autograd = jax.hessian(objective)(w)
+    np.testing.assert_allclose(
+        np.asarray(analytic), np.asarray(autograd), rtol=1e-8, atol=1e-10
+    )
+
+
+def test_fit_mean_constant_map_smoothed_cost_stationary():
+    """End-to-end fit with the residual-smoothed cost (exercises the analytic
+    Hessian through the quadrature): the returned m0 must be a stationary
+    point of the joint objective in its m0 component."""
+    from projected_langevin_sampling_tpu.models.costs import (
+        make_smoothed_bernoulli_cost,
+        residual_smoothing_std,
+    )
+    from projected_langevin_sampling_tpu.models.mean_constant import (
+        fit_mean_constant_map,
+    )
+
+    x, y, kernel, z = _data(seed=3)
+    basis = _onb(kernel, z, x, scaling="nystrom")
+    labels = (np.asarray(y) > -0.8).astype(np.float64)
+    cost = make_smoothed_bernoulli_cost(
+        y_train=jnp.asarray(labels),
+        smoothing_std=residual_smoothing_std(basis, kernel(x, x, diag=True)),
+    )
+    m0 = fit_mean_constant_map(basis=basis, cost=cost)
+    assert np.isfinite(m0) and m0 != 0.0
+
+    def objective(w):
+        f = basis.calculate_untransformed_train_prediction_samples(w[1:, None]) + w[0]
+        return jnp.sum(cost.calculate_cost(f)) + basis.calculate_energy_potential(
+            particles=w[1:, None], cost=jnp.zeros((1,), f.dtype)
+        )
+
+    grad = jax.grad(objective)
+    hess = jax.hessian(objective)
+    w = jnp.zeros(basis.approximation_dimension + 1, basis.dtype).at[0].set(m0)
+    for _ in range(50):
+        w = w - jnp.linalg.solve(
+            hess(w) + 1e-10 * jnp.eye(w.shape[0], dtype=w.dtype), grad(w)
+        )
+    assert np.max(np.abs(np.asarray(grad(w)))) < 1e-5
+    assert abs(float(w[0]) - m0) < 1e-4 * max(1.0, abs(m0))
+
+
+def test_fit_mean_constant_map_nonfinite_start_raises():
+    """A non-finite objective at the zero start means the cost/label
+    configuration is invalid — fail loudly instead of silently fitting 0."""
+    from projected_langevin_sampling_tpu.models.mean_constant import (
+        fit_mean_constant_map,
+    )
+
+    x, y, kernel, z = _data()
+    basis = _onb(kernel, z, x, scaling="nystrom")
+    bad = GaussianCost(
+        y_train=y.at[0].set(jnp.inf), observation_noise=jnp.asarray(0.1)
+    )
+    with pytest.raises(ValueError, match="non-finite"):
+        fit_mean_constant_map(basis=basis, cost=bad)

@@ -146,3 +146,54 @@ def test_integer_labels_promote_to_float():
         np.asarray(smoothed_f.calculate_cost_derivative(F)),
         rtol=1e-12,
     )
+
+
+def test_low_precision_labels_floor_to_float32():
+    """bf16 labels must not drag the Gauss-Hermite constants (weights span
+    2.6e-10..0.5) down to an 8-bit mantissa — the factory floors the
+    quadrature dtype at float32."""
+    y, F, s = _data()
+    smoothed = make_smoothed_bernoulli_cost(
+        y_train=y.astype(jnp.bfloat16), smoothing_std=s
+    )
+    assert jnp.finfo(smoothed.gh_weights.dtype).bits >= 32
+    assert jnp.finfo(smoothed.y_train.dtype).bits >= 32
+
+
+def test_non_sigmoid_link_rejected_at_construction():
+    """The quadrature identities are sigmoid-specific; constructing the class
+    directly (bypassing the factory) with another link must fail fast instead
+    of training sigmoid math behind a different predictive link."""
+    from projected_langevin_sampling_tpu.models.costs import SmoothedBernoulliCost
+    from projected_langevin_sampling_tpu.models.link_functions import (
+        ProbitLinkFunction,
+    )
+
+    y, _, s = _data()
+    nodes, weights = np.polynomial.hermite.hermgauss(16)
+    with pytest.raises(NotImplementedError, match="sigmoid"):
+        SmoothedBernoulliCost(
+            y_train=y,
+            smoothing_std=s,
+            gh_nodes=jnp.asarray(nodes),
+            gh_weights=jnp.asarray(weights),
+            link_function=ProbitLinkFunction(),
+        )
+
+
+def test_accumulated_quadrature_matches_tensorised_form():
+    """The node-by-node accumulation (O(N*J) live memory) must equal the
+    explicit (N, J, Q) tensor contraction it replaced."""
+    y, F, s = _data()
+    cost = make_smoothed_bernoulli_cost(y_train=y, smoothing_std=s)
+    z = (
+        F[:, :, None]
+        + jnp.sqrt(jnp.asarray(2.0, F.dtype)) * s[:, None, None] * cost.gh_nodes
+    )
+    expected_softplus = jnp.tensordot(
+        jax.nn.softplus(z), cost.gh_weights, axes=[[2], [0]]
+    ) / jnp.sqrt(jnp.asarray(jnp.pi, F.dtype))
+    manual_cost = jnp.sum(expected_softplus - y[:, None] * F, axis=0)
+    np.testing.assert_allclose(
+        np.asarray(cost.calculate_cost(F)), np.asarray(manual_cost), rtol=1e-12
+    )
