@@ -53,6 +53,11 @@ def parallel_train_pls(
         resolve_tier,
     )
 
+    if discretisation not in ("euler", "exponential", "preconditioned"):
+        # same explanatory error as train_pls — and before
+        # needs_w_space_reroute, which would otherwise treat the unknown
+        # value as non-Euler and spuriously reroute an IPB basis
+        raise ValueError(f"Unknown discretisation {discretisation!r}")
     if cost is None:  # called with a PLS facade
         basis, cost = pls_or_basis.basis, pls_or_basis.cost
     else:

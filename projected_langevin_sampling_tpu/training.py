@@ -21,6 +21,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from projected_langevin_sampling_tpu.models.pls import PLS
 from projected_langevin_sampling_tpu.utils.prng import KeyArray, as_key
@@ -103,6 +104,26 @@ NON_EULER_TIERS = {
     "preconditioned": ("off", "general_fused", "spectral", "spectral_fused"),
 }
 
+# The physicists' 16-node Gauss-Hermite rule the fused general kernel bakes in
+# (ops/pallas/general_train.py); general_fused_cost_spec refuses to fuse a
+# SmoothedBernoulliCost carrying any other rule.
+_GH16_NODES, _GH16_WEIGHTS = np.polynomial.hermite.hermgauss(16)
+
+
+def _is_gh16_rule(nodes, weights) -> bool:
+    """True when (nodes, weights) is the physicists' hermgauss(16) rule.
+    Inside jit the values are abstract tracers and cannot be inspected —
+    there the host-side dispatch (``train_pls``/``resolve_tier``, which run
+    before tracing) has already validated them, so tracers pass. rtol covers
+    the f32 cast of the f64 constants; atol=0 so the 2.6e-10-sized weights
+    are compared relatively too."""
+    if isinstance(nodes, jax.core.Tracer) or isinstance(weights, jax.core.Tracer):
+        return True
+    return bool(
+        np.allclose(np.asarray(nodes), _GH16_NODES, rtol=1e-5, atol=0)
+        and np.allclose(np.asarray(weights), _GH16_WEIGHTS, rtol=1e-5, atol=0)
+    )
+
 
 def _precond_spectral_coeffs(step_size, sigma, b_rot):
     """Elementwise recurrence coefficients of the preconditioned spectral
@@ -150,7 +171,12 @@ def general_fused_cost_spec(basis, cost):
     if (
         isinstance(cost, SmoothedBernoulliCost)
         and isinstance(link, SigmoidLinkFunction)
-        and cost.gh_nodes.shape[0] == 16  # the kernel bakes in the 16-node rule
+        # The kernel bakes in the physicists' hermgauss(16) rule; a cost
+        # carrying any OTHER 16-point rule (custom nodes/weights built without
+        # the factory) must stay on the XLA path or the fused and off tiers
+        # would silently train different costs.
+        and cost.gh_nodes.shape[0] == 16
+        and _is_gh16_rule(cost.gh_nodes, cost.gh_weights)
     ):
         return ("bernoulli_sigmoid_smoothed", 0.0, 0.0, cost.smoothing_std)
     if (
@@ -223,16 +249,22 @@ def resolve_fast_path(basis, cost, fast_path: str, particles_bytes: int | None =
 
 
 def resolve_tier(
-    basis, cost, fast_path: str, discretisation: str, particles_bytes: int
+    basis, cost, fast_path: str, discretisation: str, particles_bytes: int,
+    strict: bool = True,
 ) -> str:
     """Single source of truth for the (fast_path, discretisation) -> tier
-    mapping, shared by ``train_pls`` and ``parallel.parallel_train_pls`` (the
-    GSPMD path additionally clamps fused tiers to their partitionable
-    parents). Raises on combinations no tier implements."""
+    mapping, shared by ``train_pls``, ``langevin_steps`` (``strict=False``)
+    and ``parallel.parallel_train_pls`` (the GSPMD path additionally clamps
+    fused tiers to their partitionable parents). With ``strict=True`` raises
+    on combinations no tier implements; ``strict=False`` downgrades them to
+    the general tier instead (for callers that cannot raise usefully, e.g.
+    the jitted throughput path)."""
     if discretisation == "euler":
         return resolve_fast_path(
             basis, cost, fast_path, particles_bytes=particles_bytes
         )
+    if discretisation not in NON_EULER_TIERS:
+        raise ValueError(f"Unknown discretisation {discretisation!r}")
     allowed = NON_EULER_TIERS[discretisation]
     if fast_path == "auto":
         return (
@@ -246,6 +278,8 @@ def resolve_tier(
         return resolve_fast_path(
             basis, cost, fast_path, particles_bytes=particles_bytes
         )
+    if not strict:
+        return "off"
     raise ValueError(
         f"fast_path={fast_path!r} does not implement "
         f"discretisation={discretisation!r} (allowed: {allowed} or 'auto')"
@@ -1170,16 +1204,20 @@ def langevin_steps(
     step_size = jnp.asarray(step_size, dtype=dtype)
     keys = jax.random.split(key, n_steps)
     root2eta = jnp.sqrt(2.0 * step_size)
-    tier = resolve_fast_path(
-        basis, cost, fast_path, particles_bytes=particles.dtype.itemsize * particles.size
+    tier = resolve_tier(
+        basis,
+        cost,
+        fast_path,
+        discretisation,
+        particles_bytes=particles.dtype.itemsize * particles.size,
+        strict=False,  # jitted throughput path: downgrade instead of raising
     )
     if discretisation != "euler":
         from projected_langevin_sampling_tpu.models.basis.orthonormal import (
             OrthonormalBasis,
         )
 
-        allowed = NON_EULER_TIERS[discretisation]
-        if tier not in allowed or not isinstance(basis, OrthonormalBasis):
+        if not isinstance(basis, OrthonormalBasis):
             # the non-Euler spectral systems are ONB-native; an IPB basis
             # falls to the general branch below, whose error names the
             # ipb_w_space_view rerouting

@@ -226,3 +226,81 @@ def test_train_pls_spectral_uses_host_system_and_matches_law():
     np.testing.assert_allclose(
         np.asarray(p_spec.std(axis=1)), np.asarray(p_quad.std(axis=1)), rtol=0.25, atol=0.05
     )
+
+
+def test_resolve_tier_strictness_and_validation():
+    """resolve_tier: unknown discretisation raises everywhere; an
+    incompatible (fast_path, discretisation) pair raises when strict and
+    downgrades to the general tier when not (the jitted throughput path)."""
+    from projected_langevin_sampling_tpu.training import resolve_tier
+
+    basis, cost = _setup("onb")
+    with pytest.raises(ValueError, match="discretisation"):
+        resolve_tier(basis, cost, "auto", "exponentail", particles_bytes=0)
+    with pytest.raises(ValueError, match="does not implement"):
+        resolve_tier(basis, cost, "quadratic", "preconditioned", particles_bytes=0)
+    assert (
+        resolve_tier(
+            basis, cost, "quadratic", "preconditioned", particles_bytes=0,
+            strict=False,
+        )
+        == "off"
+    )
+    # the compatible pairs resolve the same under both modes
+    for strict in (True, False):
+        assert (
+            resolve_tier(
+                basis, cost, "auto", "preconditioned", particles_bytes=0,
+                strict=strict,
+            )
+            == "spectral"
+        )
+
+
+def test_langevin_steps_downgrades_incompatible_tier():
+    """quadratic + preconditioned has no tier: the throughput path must
+    downgrade to the general branch and still run (train_pls raises)."""
+    basis, cost = _setup("onb")
+    u0 = basis.initialise_particles(6, key=0)
+    u = langevin_steps(
+        basis, cost, u0, as_key(1), 1e-3, 5,
+        fast_path="quadratic", discretisation="preconditioned",
+    )
+    assert u.shape == u0.shape and bool(jnp.isfinite(u).all())
+
+
+def test_general_fused_spec_rejects_foreign_quadrature_rule():
+    """A SmoothedBernoulliCost carrying any 16-point rule OTHER than the
+    physicists' hermgauss(16) the kernel bakes in must not fuse (the fused
+    and off tiers would silently train different costs)."""
+    from projected_langevin_sampling_tpu.models.costs import (
+        make_smoothed_bernoulli_cost,
+    )
+    from projected_langevin_sampling_tpu.training import general_fused_cost_spec
+
+    basis, _ = _setup("onb")
+    y = jnp.asarray(np.random.default_rng(0).integers(0, 2, 32).astype(np.float64))
+    s = jnp.full(32, 0.3)
+    good = make_smoothed_bernoulli_cost(y_train=y, smoothing_std=s)
+    spec = general_fused_cost_spec(basis, good)
+    assert spec is not None and spec[0] == "bernoulli_sigmoid_smoothed"
+    # probabilists'-convention nodes: same count, different rule
+    foreign = good.replace(
+        gh_nodes=good.gh_nodes * np.sqrt(2.0),
+        gh_weights=good.gh_weights / np.sqrt(np.pi),
+    )
+    assert general_fused_cost_spec(basis, foreign) is None
+
+
+def test_parallel_train_pls_rejects_unknown_discretisation():
+    from jax.sharding import Mesh
+    from projected_langevin_sampling_tpu.parallel.auto import parallel_train_pls
+
+    basis, cost = _setup("ipb")
+    u0 = basis.initialise_particles(8, key=0)
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(1, 2), ("data", "particles"))
+    with pytest.raises(ValueError, match="discretisation"):
+        parallel_train_pls(
+            mesh, basis, cost, u0, number_of_epochs=1, key=0,
+            discretisation="exponentail",
+        )
