@@ -295,10 +295,9 @@ def ablation_section(task: str = "classification", model: str = "pls-onb") -> st
         sub = long[(long["model"] == model) & (long["metric"] == "nll")]
         if sub.empty:
             continue
-        stats = sub.groupby("dataset")["value"].agg(["mean", "std", "count"])
+        stats = sub.groupby("dataset")["value"].agg(["mean", "count"])
         col = {}
         for dataset, row in stats.iterrows():
-            std = 0.0 if pd.isna(row["std"]) else row["std"]
             col[dataset] = f"{row['mean']:.4f} ({int(row['count'])})"
             datasets.add(dataset)
         cols[label] = col
@@ -470,7 +469,7 @@ def headline_vs_svgp_section(
     ]
     wins = {m: 0 for m in metrics}
     ties = {m: 0 for m in metrics}
-    n_datasets = 0
+    n_datasets = {m: 0 for m in metrics}
     for metric in metrics:
         sel = long[long["metric"] == metric]
         if sel.empty:
@@ -501,13 +500,12 @@ def headline_vs_svgp_section(
                 f"| {dataset} | {pm:.4f} +- {p_sd:.4f} ({len(p)}) "
                 f"| {sm:.4f} +- {s_sd:.4f} ({len(s)}) | {winner} |"
             )
-            if metric == "nll":
-                n_datasets += 1
+            n_datasets[metric] += 1
         out.append("\n".join(rows) + "\n")
-    if n_datasets:
+    if any(n_datasets.values()):
         out.append(
             "Summary: PLS wins "
-            + ", ".join(f"{wins[m]}/{n_datasets} on {m}" for m in wins)
+            + ", ".join(f"{wins[m]}/{n_datasets[m]} on {m}" for m in wins)
             + f" (+ ties: {sum(ties.values())}).\n"
         )
     if is_map:
@@ -575,9 +573,13 @@ def nystrom_section() -> str:
             for dataset in sorted(set(r["dataset"]) & set(n["dataset"])):
                 rv = r[r["dataset"] == dataset]["value"]
                 nv = n[n["dataset"] == dataset]["value"]
+                # NaN is truthy, so `std() or 0` never fires for single-seed
+                # data — guard on the count instead
+                r_sd = rv.std() if len(rv) > 1 else 0.0
+                n_sd = nv.std() if len(nv) > 1 else 0.0
                 rows.append(
-                    f"| {dataset} | {rv.mean():.4f} +- {rv.std() or 0:.4f} ({len(rv)}) "
-                    f"| {nv.mean():.4f} +- {nv.std() or 0:.4f} ({len(nv)}) |"
+                    f"| {dataset} | {rv.mean():.4f} +- {r_sd:.4f} ({len(rv)}) "
+                    f"| {nv.mean():.4f} +- {n_sd:.4f} ({len(nv)}) |"
                 )
             out.append("\n".join(rows) + "\n")
         out_all.append("\n".join(out))

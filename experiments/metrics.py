@@ -54,6 +54,25 @@ def calculate_mse(prediction, y) -> float:
     return float(jnp.mean(jnp.square(_point_estimate(prediction) - y)))
 
 
+def calculate_acc(probs, y) -> float:
+    """Accuracy at the 0.5 threshold (probs.round()) — the single definition
+    shared by the step-size-search selection (runners.train_pls_runner) and
+    the published metric CSVs (calculate_metrics), so the two cannot drift."""
+    return float(
+        sklearn.metrics.accuracy_score(np.asarray(y), np.asarray(probs).round())
+    )
+
+
+def calculate_auc(probs, y) -> float:
+    return float(sklearn.metrics.roc_auc_score(np.asarray(y), np.asarray(probs)))
+
+
+def calculate_f1(probs, y) -> float:
+    return float(
+        sklearn.metrics.f1_score(np.asarray(y), np.asarray(probs).round())
+    )
+
+
 def calculate_nll(prediction, y) -> float:
     """NLL per distribution type (reference ``metrics.py:74-119``).
 
@@ -149,18 +168,16 @@ def calculate_metrics(
         _write(nll, results_path, model_name, dataset_name, f"nll_{data.name}.csv")
 
         if isinstance(prediction, Bernoulli):
-            y_true = np.asarray(data.y)
-            probs = np.asarray(prediction.probs)
             _write(
-                float(sklearn.metrics.accuracy_score(y_true, probs.round())),
+                calculate_acc(prediction.probs, data.y),
                 results_path, model_name, dataset_name, f"acc_{data.name}.csv",
             )
             _write(
-                float(sklearn.metrics.roc_auc_score(y_true, probs)),
+                calculate_auc(prediction.probs, data.y),
                 results_path, model_name, dataset_name, f"auc_{data.name}.csv",
             )
             _write(
-                float(sklearn.metrics.f1_score(y_true, probs.round())),
+                calculate_f1(prediction.probs, data.y),
                 results_path, model_name, dataset_name, f"f1_{data.name}.csv",
             )
 

@@ -12,7 +12,6 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
-import sklearn.metrics
 from sklearn.neighbors import NearestNeighbors
 
 from experiments.data import Data, ExperimentData
@@ -22,7 +21,14 @@ from experiments.loaders import (
     save_ard_exact_gp_model,
     save_svgp,
 )
-from experiments.metrics import calculate_mae, calculate_mse, calculate_nll
+from experiments.metrics import (
+    calculate_acc,
+    calculate_auc,
+    calculate_f1,
+    calculate_mae,
+    calculate_mse,
+    calculate_nll,
+)
 from experiments.trainers import train_exact_gp, train_pls, train_svgp
 from experiments.utils import create_directory
 from projected_langevin_sampling_tpu.models.conformalise import ConformalisePLS
@@ -327,23 +333,11 @@ def train_pls_runner(
             elif metric_to_optimise == "mae":
                 metric_value = calculate_mae(prediction=prediction, y=y_train)
             elif metric_to_optimise == "acc":
-                metric_value = float(
-                    sklearn.metrics.accuracy_score(
-                        np.asarray(y_train), np.asarray(prediction.probs).round()
-                    )
-                )
+                metric_value = calculate_acc(prediction.probs, y_train)
             elif metric_to_optimise == "auc":
-                metric_value = float(
-                    sklearn.metrics.roc_auc_score(
-                        np.asarray(y_train), np.asarray(prediction.probs)
-                    )
-                )
+                metric_value = calculate_auc(prediction.probs, y_train)
             elif metric_to_optimise == "f1":
-                metric_value = float(
-                    sklearn.metrics.f1_score(
-                        np.asarray(y_train), np.asarray(prediction.probs).round()
-                    )
-                )
+                metric_value = calculate_f1(prediction.probs, y_train)
             elif metric_to_optimise == "loss":
                 metric_value = energy_potentials[-1]
             if (
@@ -357,13 +351,20 @@ def train_pls_runner(
                 best_lr = float(step_size)
                 particles_out = particles_i
             prev = float(step_sizes[i - 1]) if i > 0 else None
+            # Relative-change denominator uses |prev| with a floor — the
+            # reference divides by the RAW previous energy
+            # (reference runners.py:424-433), which breaks the search after
+            # two candidates whenever energies go negative (the mixture
+            # likelihood keeps its Gaussian log-normalisation, so well-fit
+            # energies are ~ -0.69*N) and ZeroDivisionErrors on exactly 0.
+            # Documented deviation, PARITY.md.
             if (
                 prev is not None
                 and prev in energy_potentials_history
                 and abs(
                     energy_potentials_history[prev][-1] - energy_potentials[-1]
                 )
-                / energy_potentials_history[prev][-1]
+                / max(abs(energy_potentials_history[prev][-1]), 1e-30)
                 < minimum_change_in_energy_potential
             ):
                 break
@@ -441,7 +442,9 @@ def train_svgp_runner(
             )
             if model is None:
                 continue
-            save_svgp(ckpt, model, losses, best_learning_rate)
+            # checkpoint records the CANDIDATE's own rate (best_learning_rate
+            # is still None on the first candidate and stale on later ones)
+            save_svgp(ckpt, model, losses, float(learning_rate))
         if not losses:
             continue
         losses_history[float(learning_rate)] = losses

@@ -10,8 +10,10 @@ import argparse
 import math
 import os
 import pickle
+import traceback
 
 import jax.numpy as jnp
+import numpy as np
 import pandas as pd
 import yaml
 
@@ -81,7 +83,17 @@ def get_experiment_data(
     if y_raw.dtype == object:
         labels = sorted(y_raw.unique())
         y_raw = y_raw.map({label: i for i, label in enumerate(labels)})
-    y = jnp.asarray((y_raw.to_numpy(dtype=float) > 0).astype(float))
+    y_num = y_raw.to_numpy(dtype=float)
+    # Binarise by the two observed values, not by sign: `> 0` collapses the
+    # common numeric {1, 2} UCI class coding into a single class (and {0, 1}
+    # / {-1, 1} codings map identically either way).
+    values = np.unique(y_num)
+    if values.shape[0] != 2:
+        raise ValueError(
+            f"{dataset_name}: expected binary labels, got {values.shape[0]} "
+            f"distinct values {values[:5]}"
+        )
+    y = jnp.asarray((y_num == values.max()).astype(float))
     return set_up_experiment(
         name=dataset_name,
         problem_type=ProblemType.CLASSIFICATION,
@@ -217,22 +229,21 @@ def main(
         cost = make_smoothed_bernoulli_cost(
             y_train=experiment_data.train.y, smoothing_std=smoothing_std
         )
-    if m0_mode == "map" and not os.path.exists(
-        os.path.join(models_path, "pls-onb.pkl")
-    ):
+    pls_name = "pls-onb"
+    pls_path = os.path.join(models_path, f"{pls_name}.pkl")
+    if m0_mode == "map" and not os.path.exists(pls_path):
         # Only fit when actually training: on the load path load_pls restores
         # the checkpointed mean constant and the Newton fit would be discarded.
         m0_map = fit_mean_constant_map(basis=onb_basis, cost=cost)
         print(f"  [mean-constant map] m0={m0_map:.4f}", flush=True)
         m0_candidates = [m0_map]
         onb_basis = onb_basis.replace(mean_constant=m0_map)
-    pls = PLS(basis=onb_basis, cost=cost, name="pls-onb")
+    pls = PLS(basis=onb_basis, cost=cost, name=pls_name)
     plot_eigenvalues(
         basis=onb_basis,
         save_path=os.path.join(plots_path, "eigenvalues-pls-onb.png"),
         title=f"Eigenvalues ({dataset_name})",
     )
-    pls_path = os.path.join(models_path, f"{pls.name}.pkl")
     particles = pls.initialise_particles(
         number_of_particles=pls_config["number_of_particles"],
         noise_only=pls_config["initial_particles_noise_only"],
@@ -388,7 +399,11 @@ if __name__ == "__main__":
                     outputs_path=outputs_path,
                 )
             except Exception as e:
+                # full traceback: a swallowed config typo otherwise turns a
+                # multi-hour sweep into an exit-0 run with empty outputs and
+                # nothing to diagnose
                 print(f"Dataset {dataset_name} failed: {e}")
+                print(traceback.format_exc())
         concatenate_metrics(
             results_path=os.path.join(outputs_path, str(seed), "results"),
             data_types=["train", "test"],
