@@ -404,10 +404,23 @@ if __name__ == "__main__":
                 # nothing to diagnose
                 print(f"Dataset {dataset_name} failed: {e}")
                 print(traceback.format_exc())
+        # concatenate over every dataset with results on disk, not just this
+        # invocation's list — a single-dataset gap-fill run must not clobber
+        # the seed's aggregate CSVs with a one-dataset table
+        results_root = os.path.join(outputs_path, str(seed), "results")
+        present = (
+            [
+                d
+                for d in os.listdir(results_root)
+                if os.path.isdir(os.path.join(results_root, d))
+            ]
+            if os.path.isdir(results_root)
+            else []
+        )
         concatenate_metrics(
-            results_path=os.path.join(outputs_path, str(seed), "results"),
+            results_path=results_root,
             data_types=["train", "test"],
             model_names=MODEL_NAMES,
-            datasets=dataset_names,
+            datasets=sorted(set(dataset_names) | set(present)),
             metrics=METRICS,
         )

@@ -11,6 +11,7 @@ import argparse
 import math
 import os
 import pickle
+import traceback
 
 import jax.numpy as jnp
 import pandas as pd
@@ -245,6 +246,10 @@ def main(
             "onb_relative_eigenvalue_threshold"
         ),
         mean_constant=pls_mean_constant,
+        # NOTE: likelihood.noise is a VARIANCE handed to a scale parameter —
+        # reproduced deliberately from the reference
+        # (uci/regression/main.py:235-239 passes likelihood.noise as
+        # torch StudentT's scale); "fixing" the units would break parity.
         additional_predictive_noise_distribution=StudentTPredictiveNoise(
             df=degrees_of_freedom, loc=0.0, scale=float(likelihood.noise)
         ),
@@ -285,14 +290,14 @@ def main(
             title=f"Eigenvalues ({dataset_name})",
         )
         pls_path = os.path.join(models_path, f"{pls_name}.pkl")
-        particles = pls.initialise_particles(
-            number_of_particles=pls_config["number_of_particles"],
-            noise_only=pls_config["initial_particles_noise_only"],
-            seed=pls_config["seed"],
-        )
         if os.path.exists(pls_path):
             particles, _, _, _ = load_pls(pls_path, pls=pls)
         else:
+            particles = pls.initialise_particles(
+                number_of_particles=pls_config["number_of_particles"],
+                noise_only=pls_config["initial_particles_noise_only"],
+                seed=pls_config["seed"],
+            )
             particles, best_lr, number_of_epochs = train_pls_runner(
                 pls=pls,
                 particles=particles,
@@ -320,7 +325,10 @@ def main(
                 observation_noise=pls.observation_noise,
                 best_lr=best_lr,
                 number_of_epochs=number_of_epochs,
-                mean_constant=float(pls.basis.mean_constant) or None,
+                # always record the trained-under constant (an exact 0.0 is a
+                # valid value — `or None` would collapse it and skip the
+                # restore on reload)
+                mean_constant=float(pls.basis.mean_constant),
             )
         calculate_metrics(
             model=pls,
@@ -338,7 +346,9 @@ def main(
                 particles=particles,
                 x_calibration=experiment_data.validation.x,
                 y_calibration=experiment_data.validation.y,
-                debug=pls_name != "pls-onb",
+                # debug (skip the Gaussian-cost asserts) keyed on the actual
+                # cost type, not the model name
+                debug=not isinstance(pls.cost, GaussianCost),
             ),
             particles=particles,
             model_name=f"{pls_name}-temper",
@@ -485,11 +495,27 @@ if __name__ == "__main__":
                     outputs_path=outputs_path,
                 )
             except Exception as e:
+                # full traceback: a swallowed config typo otherwise turns a
+                # multi-hour sweep into an exit-0 run with empty outputs
                 print(f"Dataset {dataset_name} failed: {e}")
+                print(traceback.format_exc())
+        # concatenate over every dataset with results on disk, not just this
+        # invocation's list — a single-dataset gap-fill run must not clobber
+        # the seed's aggregate CSVs with a one-dataset table
+        results_root = os.path.join(outputs_path, str(seed), "results")
+        present = (
+            [
+                d
+                for d in os.listdir(results_root)
+                if os.path.isdir(os.path.join(results_root, d))
+            ]
+            if os.path.isdir(results_root)
+            else []
+        )
         concatenate_metrics(
-            results_path=os.path.join(outputs_path, str(seed), "results"),
+            results_path=results_root,
             data_types=["train", "test"],
             model_names=MODEL_NAMES,
-            datasets=dataset_names,
+            datasets=sorted(set(dataset_names) | set(present)),
             metrics=METRICS,
         )

@@ -34,6 +34,34 @@ from projected_langevin_sampling_tpu.utils.prng import KeyArray, as_key
 Array = jax.Array
 
 
+def _drain_chunks(worker, number_of_epochs: int, stopped_index: int):
+    """Run a jitted scan worker in bounded chunks (shared by fit_exact_gp and
+    fit_svgp): each chunk is one device program (Cholesky-per-step trainers
+    get a 50x smaller chunk than the Langevin scan), the full carry threads
+    through so the chunked run is bit-identical to a single scan, and no more
+    chunks launch once the in-scan stopper (``carry[stopped_index]``) fires.
+
+    ``worker(carry_or_None, n_epochs) -> (carry, loss_trace, recorded)``.
+    Returns (final carry or None when number_of_epochs == 0, recorded losses).
+    """
+    from projected_langevin_sampling_tpu.training import _SCAN_CHUNK_STEPS
+
+    chunk = max(1, _SCAN_CHUNK_STEPS // 50)
+    remaining = int(number_of_epochs)
+    carry = None
+    losses: list[float] = []
+    while remaining > 0:
+        n_epochs = min(chunk, remaining)
+        carry, loss_trace, recorded = worker(carry, n_epochs)
+        losses += [
+            float(l) for l, r in zip(loss_trace.tolist(), recorded.tolist()) if r
+        ]
+        remaining -= n_epochs
+        if bool(carry[stopped_index]):
+            break
+    return carry, losses
+
+
 # --------------------------------------------------------------------------
 # Exact GP
 # --------------------------------------------------------------------------
@@ -145,23 +173,13 @@ def fit_exact_gp(
     lr = jnp.asarray(learning_rate, dtype=x.dtype)
     # chunked: bound each device program (see _run_exact_gp docstring) and
     # stop launching chunks once the in-scan stopper has fired
-    from projected_langevin_sampling_tpu.training import _SCAN_CHUNK_STEPS
-
-    chunk = max(1, _SCAN_CHUNK_STEPS // 50)  # Cholesky-per-step: heavier steps
-    remaining = int(number_of_epochs)
-    carry = None
-    losses: list[float] = []
-    while remaining > 0:
-        n = min(chunk, remaining)
-        carry, loss_trace, recorded = _run_exact_gp(
+    carry, losses = _drain_chunks(
+        lambda carry, n: _run_exact_gp(
             params, x, y, fixed_noise_variances, lr, patience, n, carry
-        )
-        losses += [
-            float(l) for l, r in zip(loss_trace.tolist(), recorded.tolist()) if r
-        ]
-        remaining -= n
-        if bool(carry[4]):  # stopped — no more work to launch
-            break
+        ),
+        number_of_epochs=number_of_epochs,
+        stopped_index=4,
+    )
     if carry is not None:  # number_of_epochs == 0 -> return the init params
         params = carry[0]
     return _exact_gp_from_params(params, x, y, fixed_noise_variances), losses
@@ -262,28 +280,18 @@ def fit_svgp(
     lr = jnp.asarray(learning_rate, dtype=x.dtype)
     # chunked: bound each device program; the key rides the carry so the
     # chunked run is bit-identical to the single-scan run
-    from projected_langevin_sampling_tpu.training import _SCAN_CHUNK_STEPS
-
-    chunk = max(1, _SCAN_CHUNK_STEPS // 50)
-    remaining = int(number_of_epochs)
-    carry = None
-    losses: list[float] = []
-    while remaining > 0:
-        n_epochs = min(chunk, remaining)
-        carry, loss_trace, recorded = _run_svgp(
+    carry, losses = _drain_chunks(
+        lambda carry, n_epochs: _run_svgp(
             params, svgp, x, y, key, lr, patience,
             number_of_epochs=n_epochs,
             batch_size=int(batch_size),
             num_batches=int(num_batches),
             frozen=tuple(sorted(frozen)),
             carry_in=carry,
-        )
-        losses += [
-            float(l) for l, r in zip(loss_trace.tolist(), recorded.tolist()) if r
-        ]
-        remaining -= n_epochs
-        if bool(carry[5]):  # stopped (includes the bad case)
-            break
+        ),
+        number_of_epochs=number_of_epochs,
+        stopped_index=5,  # stopped (includes the bad case)
+    )
     if carry is None:  # number_of_epochs == 0 -> return the init model
         return _svgp_from_params(params, svgp), losses
     if bool(carry[6]):  # bad: non-finite parameters adopted
@@ -333,6 +341,16 @@ def _run_svgp(params, svgp, x, y, key, learning_rate, patience,
             new_params, new_opt_state = jax.lax.fori_loop(
                 0, num_batches, batch_body, (params, opt_state)
             )
+            # partial final batch: the reference's DataLoader includes it
+            # (torch DataLoader default drop_last=False) — every point of the
+            # shuffled order is visited exactly once per epoch. rem is static
+            # (shapes are), so this is a separately-traced fixed-shape step.
+            rem = n - num_batches * batch_size
+            if rem:
+                tail = jax.lax.dynamic_slice(order, (num_batches * batch_size,), (rem,))
+                _, new_params, new_opt_state = step(
+                    new_params, new_opt_state, x[tail], y[tail]
+                )
             loss = -_svgp_from_params(new_params, svgp).elbo(x, y, n) / n
 
             # reference semantics (trainers.py:55-136): the epoch's updates are

@@ -262,3 +262,31 @@ def test_fit_svgp_chunked_matches_monolithic(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(mono.variational_mean), np.asarray(chunk.variational_mean)
     )
+
+
+def test_svgp_minibatching_includes_partial_final_batch():
+    """The reference's DataLoader (drop_last=False) visits every shuffled
+    point once per epoch; with n=60, batch_size=23 the partial 14-point tail
+    batch must train too (a 23x2+14 split), not be dropped. Behavioural pin:
+    the partial-batch path runs, the model is finite and fits, and the run
+    differs from a drop-last run only through those tail updates."""
+    rng = np.random.default_rng(5)
+    n = 60
+    x = jnp.asarray(np.sort(rng.uniform(-2, 2, (n, 1)), axis=0))
+    y = jnp.asarray((np.asarray(x)[:, 0] > 0).astype(float))
+    svgp = init_svgp(0.0, _kernel(), BernoulliLikelihood(), x[::6])
+    trained, losses = fit_svgp(
+        svgp, x, y, number_of_epochs=150, batch_size=23, learning_rate=0.05,
+        learn_kernel_parameters=False, key=0,
+    )
+    assert trained is not None and losses
+    assert all(np.isfinite(losses))
+    acc = float(jnp.mean((trained.predict_y(x).probs > 0.5) == y))
+    assert acc > 0.85
+    # divisible batching is unchanged: same call with batch_size=20 (60=3x20)
+    # exercises the rem == 0 trace
+    trained2, losses2 = fit_svgp(
+        svgp, x, y, number_of_epochs=150, batch_size=20, learning_rate=0.05,
+        learn_kernel_parameters=False, key=0,
+    )
+    assert trained2 is not None and all(np.isfinite(losses2))
