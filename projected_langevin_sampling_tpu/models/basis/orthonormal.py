@@ -139,9 +139,16 @@ class OrthonormalBasis(PLSBasisMixin):
         x: Array,
         key: KeyArray | int | None = None,
         augmentation_samples: Array | None = None,
+        base_gram_x_induce: Array | None = None,
     ) -> Array:
         """Joint MVN draw over [basis coefficients; test function values]
-        with the Z-union-x augmentation (reference ``orthonormal.py:161-214``)."""
+        with the Z-union-x augmentation (reference ``orthonormal.py:161-214``).
+
+        ``augmentation_samples`` only affects the ``"reference"`` scaling —
+        under ``"nystrom"`` the bottom-right block is the exact base gram, so
+        the OOD augmentation is moot and the argument is ignored.
+        ``base_gram_x_induce``: optional precomputed k(x, Z) (the caller may
+        already hold it — ``predict_untransformed_samples`` does)."""
         key = as_key(key)
         if self.scaling == "nystrom":
             # the consistent prior: marginal var of the Matheron prediction is
@@ -154,7 +161,8 @@ class OrthonormalBasis(PLSBasisMixin):
             gram_x = self.kernel.forward(
                 x1=x, x2=x, additional_approximation_samples=aug
             )
-        base_gram_x_induce = ard_gram(self.kernel.base_kernel, x, self.x_induce)
+        if base_gram_x_induce is None:
+            base_gram_x_induce = ard_gram(self.kernel.base_kernel, x, self.x_induce)
         off_diagonal_block = (
             base_gram_x_induce @ self.scaled_eigenvectors * self.eigenvalues[None, :]
         )  # (N*, M_k) == k(x,Z) Vt diag(lambda)
@@ -189,6 +197,7 @@ class OrthonormalBasis(PLSBasisMixin):
             noise = self.sample_predictive_noise(
                 particles=particles, x=x, key=key,
                 augmentation_samples=augmentation_samples,
+                base_gram_x_induce=base_gram_x_induce,  # computed once
             )
         m_k = self.approximation_dimension
         out = noise[m_k:, :] + base_gram_x_induce @ (
@@ -260,14 +269,33 @@ def build_orthonormal_basis(
     m_k = eigenvalues.shape[0]
     if scaling == "nystrom":
         # Vt Lambda Vt^T == (truncated) Kzz^{-1}: prior var == Qff ~= k(x,x)
+        # Guard the 1/lambda columns: a kept eigenvalue at fp64 noise level
+        # (<= ~10 eps relative to lambda_max) makes 1/(sqrt(M) lambda)
+        # overflow fp32 or inject garbage directions — fail fast instead of
+        # silently NaN-ing the Langevin drift.
+        if eigenvalues.size and float(eigenvalues[0]) <= 10.0 * np.finfo(
+            np.float64
+        ).eps * float(eigenvalues[-1]):
+            raise ValueError(
+                'scaling="nystrom" kept a numerically-zero eigenvalue '
+                f"(lambda_min/lambda_max = {float(eigenvalues[0] / eigenvalues[-1]):.3e}); "
+                "set relative_eigenvalue_threshold (e.g. 1e-10 or larger) to "
+                "truncate the noise-level eigenpairs"
+            )
         scaled_eigenvectors = eigenvectors / (np.sqrt(m) * eigenvalues)[None, :]
     elif scaling == "reference":
         scaled_eigenvectors = eigenvectors / np.sqrt(m_k * eigenvalues)[None, :]
     else:
         raise ValueError(f"Unknown ONB scaling {scaling!r}")
+    # k(Z,X)^T @ Vt in fp64 (the eigh above already is): the nystrom columns
+    # carry 1/lambda dynamic range, and fp32 accumulation of the cancelling
+    # inner products loses the digits the host-fp64 policy protects
+    train_projection = jnp.asarray(
+        np.asarray(base_gram_induce_train, dtype=np.float64).T @ scaled_eigenvectors,
+        dtype=base_gram_induce.dtype,
+    )  # (N, M_k)
     scaled_eigenvectors = jnp.asarray(scaled_eigenvectors, dtype=base_gram_induce.dtype)
     eigenvalues = jnp.asarray(eigenvalues, dtype=base_gram_induce.dtype)
-    train_projection = base_gram_induce_train.T @ scaled_eigenvectors  # (N, M_k)
 
     return OrthonormalBasis(
         kernel=kernel,

@@ -87,6 +87,11 @@ def cholesky_factor(matrix: Array, jitter: float = 0.0) -> Array:
     Replaces the reference's ``gpytorch.solve`` machinery
     (``basis/inducing_point.py:89-93,130-132``): factor once at basis build,
     reuse every step.
+
+    Jit-safe, which means NO PSD error: ``jnp.linalg.cholesky`` returns NaNs
+    on a non-PSD input instead of raising. For host-side build-time
+    factorisations of borderline grams use :func:`robust_cholesky`, which
+    escalates jitter and raises.
     """
     if jitter:
         matrix = matrix + jitter * jnp.eye(matrix.shape[0], dtype=matrix.dtype)
@@ -109,13 +114,19 @@ def robust_cholesky(matrix: Array, max_tries: int = 6, initial_jitter: float | N
     import numpy as np
 
     m = np.asarray(matrix)
-    if initial_jitter is None:
-        initial_jitter = float(np.finfo(m.dtype).eps) * float(np.mean(np.diag(m)))
-    jitter = 0.0
-    for attempt in range(max_tries + 1):
+    if not initial_jitter:  # None or an explicit 0.0: derive a positive floor
+        initial_jitter = float(np.finfo(m.dtype).eps) * float(
+            np.mean(np.abs(np.diag(m)))
+        )
+        if initial_jitter <= 0.0:  # zero/neg diagonal: eps itself is the floor
+            initial_jitter = float(np.finfo(m.dtype).eps)
+    # exact attempt first, then max_tries escalations; the raise reports the
+    # largest jitter that was actually TRIED
+    jitters = [0.0] + [initial_jitter * 10.0**k for k in range(max_tries)]
+    for jitter in jitters:
         try:
             chol = np.linalg.cholesky(m + jitter * np.eye(m.shape[0], dtype=m.dtype))
             return jnp.asarray(chol), jitter
         except np.linalg.LinAlgError:
-            jitter = initial_jitter * (10.0 ** attempt) if attempt else initial_jitter
-    raise ValueError(f"Matrix not PSD even with jitter={jitter}")
+            continue
+    raise ValueError(f"Matrix not PSD even with jitter={jitters[-1]}")

@@ -66,3 +66,33 @@ def test_robust_cholesky_adds_jitter_for_singular():
     chol, jitter = robust_cholesky(a)
     assert jitter > 0.0
     assert np.all(np.isfinite(np.asarray(chol)))
+
+
+def test_robust_cholesky_zero_initial_jitter_still_escalates():
+    """An explicit initial_jitter=0.0 (or a zero-diagonal matrix) must not
+    degenerate into max_tries identical jitter-free attempts."""
+    import numpy as np
+    from projected_langevin_sampling_tpu.ops.linalg import robust_cholesky
+
+    # PSD apart from an eps-scale negative eigenvalue: fails at jitter 0,
+    # succeeds once the derived eps-level escalation lands
+    m = np.eye(3)
+    m[0, 0] = -1e-18
+    chol, jitter = robust_cholesky(jnp.asarray(m), initial_jitter=0.0)
+    assert jitter > 0.0
+    assert bool(jnp.isfinite(chol).all())
+
+
+def test_robust_cholesky_failure_reports_tried_jitter():
+    """The PSD failure must report the largest jitter actually attempted."""
+    import numpy as np
+    import pytest
+    from projected_langevin_sampling_tpu.ops.linalg import robust_cholesky
+
+    m = np.diag([-1.0, 1.0])  # indefinite at any tried jitter level
+    with pytest.raises(ValueError) as err:
+        robust_cholesky(jnp.asarray(m), max_tries=3, initial_jitter=1e-6)
+    # tried jitters: 0, 1e-6, 1e-5, 1e-4 — the message must report ~1e-4 (the
+    # largest TRIED), not the never-attempted next escalation 1e-3
+    reported = float(str(err.value).rsplit("=", 1)[1])
+    assert reported == pytest.approx(1e-4, rel=1e-6)

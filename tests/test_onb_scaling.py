@@ -165,3 +165,29 @@ def test_nystrom_matheron_prior_marginals_match_k():
     var_hat = np.asarray(jnp.var(samples, axis=1))
     k_diag = np.asarray(kernel(x_star, x_star, diag=True))
     np.testing.assert_allclose(var_hat, k_diag, rtol=0.08, atol=0.01)
+
+
+def test_nystrom_rejects_numerically_zero_eigenvalues():
+    """Untruncated noise-level eigenvalues under scaling='nystrom' would give
+    1/lambda basis columns that overflow fp32 — the build must fail fast and
+    name relative_eigenvalue_threshold."""
+    import numpy as np
+    import pytest
+
+    rng = np.random.default_rng(0)
+    # duplicated inducing points => k(Z,Z) is exactly rank-deficient
+    z = np.concatenate([np.linspace(-1, 1, 4)] * 2)[:, None]
+    x = np.sort(rng.uniform(-1, 1, (20, 1)), axis=0)
+    base = ARDKernel(lengthscales=jnp.asarray([0.5]), outputscale=jnp.asarray(1.0))
+    kernel = PLSKernel(base_kernel=base, approximation_samples=jnp.asarray(x))
+    with pytest.raises(ValueError, match="relative_eigenvalue_threshold"):
+        build_orthonormal_basis(
+            kernel, jnp.asarray(z), jnp.asarray(x), verbose=False,
+            scaling="nystrom",
+        )
+    # with truncation the same geometry builds fine
+    basis = build_orthonormal_basis(
+        kernel, jnp.asarray(z), jnp.asarray(x), verbose=False,
+        scaling="nystrom", relative_eigenvalue_threshold=1e-10,
+    )
+    assert bool(jnp.isfinite(basis.train_projection).all())
