@@ -151,24 +151,30 @@ def _time_tier(basis, cost, tier, n_steps, reps=3, discretisation="euler"):
     }
 
 
-def run_table():
-    """Per-(tier x cost) benchmark; writes BENCH_TABLE.json."""
+def run_table(cpu_fallback: bool = False):
+    """Per-(tier x cost) benchmark; writes BENCH_TABLE.json.
+
+    ``cpu_fallback``: the entry point's dead-tunnel CPU fallback — shrink
+    the step counts ~20x (the TPU-sized off-tier cells alone are tens of
+    minutes each on the 1-core CPU; the fallback's job is to always return,
+    not to produce publishable CPU numbers)."""
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     on_tpu = jax.default_backend() != "cpu"
+    s = 0.05 if cpu_fallback else 1.0
 
     cells = [
         # (cost, basis, tier, n_steps[, discretisation]) — step counts sized
         # so each rep runs seconds, amortising the ~35 ms tunnel dispatch
         # latency
-        ("gaussian", "onb", "off", 2000),
-        ("gaussian", "onb", "quadratic", 10000),
-        ("gaussian", "onb", "spectral", 20000),
-        ("gaussian", "ipb", "quadratic", 10000),
-        ("gaussian", "ipb", "spectral", 20000),
-        ("bernoulli", "onb", "off", 2000),
+        ("gaussian", "onb", "off", max(100, int(2000 * s))),
+        ("gaussian", "onb", "quadratic", max(500, int(10000 * s))),
+        ("gaussian", "onb", "spectral", max(1000, int(20000 * s))),
+        ("gaussian", "ipb", "quadratic", max(500, int(10000 * s))),
+        ("gaussian", "ipb", "spectral", max(1000, int(20000 * s))),
+        ("bernoulli", "onb", "off", max(100, int(2000 * s))),
     ]
     if on_tpu:
         cells.insert(3, ("gaussian", "onb", "spectral_fused", 20000))
@@ -339,13 +345,9 @@ if __name__ == "__main__":
     # driver's round-end bench run); probe + fall back to honest CPU numbers
     from projected_langevin_sampling_tpu.utils import ensure_live_backend
 
-    if ensure_live_backend():
-        print(
-            "hardware backend failed to initialise: falling back to CPU",
-            file=sys.stderr,
-        )
+    cpu_fallback = ensure_live_backend(context="bench")
     if args.table:
-        run_table()
+        run_table(cpu_fallback=cpu_fallback)
     elif args.predict:
         run_predict()
     else:
