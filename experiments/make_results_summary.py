@@ -470,18 +470,20 @@ def headline_vs_svgp_section(
     wins = {m: 0 for m in metrics}
     ties = {m: 0 for m in metrics}
     n_datasets = {m: 0 for m in metrics}
+    sig = {m: {"pls": 0, "svgp": 0, "ns": 0} for m in metrics}
     for metric in metrics:
         sel = long[long["metric"] == metric]
         if sel.empty:
             continue
         rows = [
             f"### {metric}\n",
-            "| dataset | pls-onb | svgp | winner |",
-            "|---|---|---|---|",
+            "| dataset | pls-onb | svgp | paired delta (pls-svgp) | winner |",
+            "|---|---|---|---|---|",
         ]
         for dataset in sorted(sel["dataset"].unique()):
-            p = sel[(sel["dataset"] == dataset) & (sel["model"] == "pls-onb")]["value"]
-            s = sel[(sel["dataset"] == dataset) & (sel["model"] == "svgp")]["value"]
+            psel = sel[(sel["dataset"] == dataset) & (sel["model"] == "pls-onb")]
+            ssel = sel[(sel["dataset"] == dataset) & (sel["model"] == "svgp")]
+            p, s = psel["value"], ssel["value"]
             if p.empty or s.empty:
                 continue
             pm, sm = p.mean(), s.mean()
@@ -496,9 +498,29 @@ def headline_vs_svgp_section(
                 winner = "svgp"
             p_sd = p.std() if len(p) > 1 else 0.0
             s_sd = s.std() if len(s) > 1 else 0.0
+            # Paired-by-seed comparison: the two models share every seed's
+            # split/kernel/inducing points, so the honest significance test
+            # is on the per-seed differences, not the pooled stds.
+            pv = psel.set_index("seed")["value"]
+            sv = ssel.set_index("seed")["value"]
+            common = pv.index.intersection(sv.index)
+            d = (pv.loc[common] - sv.loc[common]).astype(float)
+            if len(d) > 1 and d.std() > 0:
+                t_stat = d.mean() / (d.std() / len(d) ** 0.5)
+                significant = abs(t_stat) >= 2.0
+            else:
+                significant = False
+            delta_cell = f"{d.mean():+.4f} +- {d.std() if len(d) > 1 else 0.0:.4f}"
+            if significant:
+                sig_side = "pls" if (d.mean() < 0) == better_low else "svgp"
+                sig[metric][sig_side] += 1
+                winner = f"{winner} (sig)"
+            else:
+                sig[metric]["ns"] += 1
+                winner = f"{winner} (ns)"
             rows.append(
                 f"| {dataset} | {pm:.4f} +- {p_sd:.4f} ({len(p)}) "
-                f"| {sm:.4f} +- {s_sd:.4f} ({len(s)}) | {winner} |"
+                f"| {sm:.4f} +- {s_sd:.4f} ({len(s)}) | {delta_cell} | {winner} |"
             )
             n_datasets[metric] += 1
         out.append("\n".join(rows) + "\n")
@@ -507,6 +529,17 @@ def headline_vs_svgp_section(
             "Summary: PLS wins "
             + ", ".join(f"{wins[m]}/{n_datasets[m]} on {m}" for m in wins)
             + f" (+ ties: {sum(ties.values())}).\n"
+        )
+        out.append(
+            "Paired-by-seed significance (2-sigma t on per-seed deltas; the\n"
+            "models share each seed's split/kernel/inducing points): "
+            + "; ".join(
+                f"{m}: pls {sig[m]['pls']}, svgp {sig[m]['svgp']}, "
+                f"indistinguishable {sig[m]['ns']}"
+                for m in metrics
+                if sum(sig[m].values())
+            )
+            + ".\n"
         )
     if is_map:
         out.append(
