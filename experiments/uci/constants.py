@@ -205,6 +205,16 @@ class DigitsEvenDataset(Dataset):
     output_column_name = "target"
 
 
+class IrisBinaryDataset(Dataset):
+    # real UCI iris (bundled with sklearn), restricted to the classic
+    # non-separable pair versicolor-vs-virginica (100 x 4; setosa is
+    # linearly separable from both and is dropped)
+    input_column_names = [
+        "sepal_length_cm", "sepal_width_cm", "petal_length_cm", "petal_width_cm",
+    ]
+    output_column_name = "target"
+
+
 class WineUCIDataset(Dataset):
     # real UCI wine (178 x 13, bundled with sklearn), cultivar-1-vs-rest
     input_column_names = [
@@ -220,6 +230,7 @@ EXTRA_REGRESSION_DATASETS = {"diabetes_sklearn": DiabetesSklearnDataset}
 EXTRA_CLASSIFICATION_DATASETS = {
     "breast_wdbc": BreastWDBCDataset,
     "digits_even": DigitsEvenDataset,
+    "iris_binary": IrisBinaryDataset,
     "wine_uci": WineUCIDataset,
 }
 

@@ -352,10 +352,22 @@ def write_sklearn_bundled(out_dir: str) -> None:
     wine.columns = [c.replace("/", "_").replace(" ", "_") for c in wine.columns]
     wine["target"] = (wine["target"] == 0).astype(int)
     zscore(wine, "target").to_csv(os.path.join(out_dir, "wine_uci.csv"), index=False)
+    # real UCI iris, restricted to the non-separable versicolor(1)/virginica(2)
+    # pair (setosa is linearly separable from both — the binary task would be
+    # trivial with it kept)
+    from sklearn.datasets import load_iris
+
+    iris = load_iris(as_frame=True).frame
+    iris.columns = [
+        c.replace(" (cm)", "_cm").replace(" ", "_") for c in iris.columns
+    ]
+    iris = iris[iris["target"] != 0].copy()
+    iris["target"] = (iris["target"] == 2).astype(int)
+    zscore(iris, "target").to_csv(os.path.join(out_dir, "iris_binary.csv"), index=False)
     print(f"wrote breast_wdbc.csv ({len(wdbc)} rows), diabetes_sklearn.csv "
           f"({len(diab)} rows), digits_even.csv ({len(ddf)} rows), "
-          f"wine_uci.csv ({len(wine)} rows) to {out_dir} "
-          "[REAL sklearn-bundled UCI data, z-scored features]")
+          f"wine_uci.csv ({len(wine)} rows), iris_binary.csv ({len(iris)} rows) "
+          f"to {out_dir} [REAL sklearn-bundled UCI data, z-scored features]")
 
 
 def main() -> int:

@@ -75,3 +75,9 @@ def test_sklearn_bundled_real_data(tmp_path):
     schema = constants.resolve_schema("diabetes_sklearn")
     assert set(schema.input_column_names) <= set(diab.columns)
     assert len(diab) == 442  # the real diabetes study row count
+    iris = pd.read_csv(tmp_path / "iris_binary.csv")
+    schema = constants.resolve_schema("iris_binary")
+    assert set(schema.input_column_names) <= set(iris.columns)
+    assert len(iris) == 100  # versicolor + virginica only
+    assert sorted(iris["target"].unique()) == [0, 1]
+    assert iris["target"].sum() == 50  # balanced pair
