@@ -637,8 +637,9 @@ def main() -> None:
         "parity sections. Most of the 6+8 UCI datasets are SYNTHETIC\n"
         "schema-compatible stand-ins (no network egress here; the reference\n"
         "ships no CSVs either — `fetch_datasets.py` downloads the real ones\n"
-        "when egress exists). FOUR REAL datasets ship offline via\n"
-        "scikit-learn: breast_wdbc, diabetes_sklearn, digits_even, wine_uci.\n",
+        "when egress exists). FIVE REAL datasets ship offline via\n"
+        "scikit-learn: breast_wdbc, diabetes_sklearn, digits_even,\n"
+        "iris_binary, wine_uci.\n",
         bench_section(),
         headline_vs_svgp_section("classification", ("nll", "acc", "auc", "f1")),
         headline_vs_svgp_section("regression", ("nll", "mse")),
