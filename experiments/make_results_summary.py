@@ -639,6 +639,37 @@ def nystrom_section() -> str:
     return "\n".join(out_all)
 
 
+def dump_metrics_long() -> None:
+    """Consolidate every per-seed metric CSV under experiments/uci/*/outputs*/
+    into one tidy long CSV (results/uci_metrics_long.csv). The per-seed trees
+    are gitignored (models/plots dwarf the metrics); this single committed
+    artifact lets every RESULTS.md table be recomputed from a clean clone."""
+    import glob as _glob
+
+    frames = []
+    for task in ("classification", "regression"):
+        base = os.path.join(ROOT, "experiments", "uci", task)
+        for outputs in sorted(_glob.glob(os.path.join(base, "outputs*"))):
+            if not os.path.isdir(outputs):
+                continue
+            for split in ("train", "test", "validation"):
+                long = collect(outputs, split)
+                if long.empty:
+                    continue
+                long.insert(0, "split", split)
+                long.insert(0, "protocol", os.path.basename(outputs))
+                long.insert(0, "task", task)
+                frames.append(long)
+    if not frames:
+        return
+    out = pd.concat(frames, ignore_index=True)
+    path = os.path.join(ROOT, "results", "uci_metrics_long.csv")
+    out.sort_values(["task", "protocol", "split", "dataset", "model", "metric", "seed"]).to_csv(
+        path, index=False
+    )
+    print(f"wrote {path} ({len(out)} rows)")
+
+
 def main() -> None:
     headline_cls = _headline_dir("classification")
     headline_reg = _headline_dir("regression")
@@ -648,12 +679,19 @@ def main() -> None:
         "config (simulation_duration 0.5, <=1e7 Langevin steps, 5-point\n"
         "step-size search, J=100 particles), over the reference's 10-data-seed\n"
         "protocol, on the real TPU v5e chip in float32 (fp64 numerics-critical\n"
-        "factorisations on host). HEADLINE protocol = the consistent-KKL\n"
+        "factorisations on host; the headline CLASSIFICATION sweep ran the\n"
+        "same config fp32 on the host CPU during the round-3 tail's\n"
+        "TPU-tunnel outage — provenance noted in its section). HEADLINE\n"
+        "protocol = the consistent-KKL\n"
         "`scaling=nystrom` ONB + the Lambda-preconditioned discretisation\n"
         "(same stationary posterior; docs/DESIGN.md 'ONB prior scaling')\n"
         "+ the empirical-Bayes MAP prior-mean constant (`mean_constant=map`,\n"
         "models/mean_constant.py — the PLS analogue of SVGP's ELBO-trained\n"
-        "ConstantMean); the reference-scaling explicit-Euler runs follow as\n"
+        "ConstantMean) + for classification the FITC-style residual-smoothed\n"
+        "Bernoulli cost (`cost_smoothing=residual`,\n"
+        "models/costs/smoothed_bernoulli.py — the same expected\n"
+        "log-likelihood SVGP's ELBO scores); the reference-scaling\n"
+        "explicit-Euler runs follow as\n"
         "parity sections. Most of the 6+8 UCI datasets are SYNTHETIC\n"
         "schema-compatible stand-ins (no network egress here; the reference\n"
         "ships no CSVs either — `fetch_datasets.py` downloads the real ones\n"
@@ -722,6 +760,7 @@ def main() -> None:
     with open(path, "w") as f:
         f.write("\n".join(sections))
     print(f"wrote {path}")
+    dump_metrics_long()
 
 
 if __name__ == "__main__":
