@@ -275,3 +275,41 @@ def test_headline_dir_preference(tmp_path, monkeypatch):
     # an incomplete more-preferred run must NOT shadow a more complete one
     make("outputs_precond_map", 5)
     assert mrs._headline_dir("classification").endswith("outputs_precond_map")
+
+
+def test_dump_metrics_long_roundtrip(tmp_path, monkeypatch):
+    """dump_metrics_long consolidates every outputs*/ per-seed metric CSV
+    into one tidy frame whose values round-trip exactly — this single
+    committed artifact is what makes RESULTS.md recomputable from a clean
+    clone (the per-seed trees are gitignored)."""
+    import pandas as pd
+
+    from experiments import make_results_summary as mrs
+
+    def write(task, protocol, seed, dataset, model, metric, split, value):
+        d = (
+            tmp_path / "experiments" / "uci" / task / protocol / str(seed)
+            / "results" / dataset / model
+        )
+        d.mkdir(parents=True, exist_ok=True)
+        (d / f"{metric}_{split}.csv").write_text(
+            f"dataset,{model}\n{dataset},{value}\n"
+        )
+
+    write("classification", "outputs", 0, "ds", "pls-onb", "nll", "test", 0.51)
+    write("classification", "outputs", 1, "ds", "pls-onb", "nll", "test", 0.49)
+    write("classification", "outputs_precond", 0, "ds", "svgp", "acc", "train", 0.9)
+    write("regression", "outputs_precond_map", 3, "boston", "pls-onb", "mse", "test", 0.07)
+    (tmp_path / "results").mkdir()
+    monkeypatch.setattr(mrs, "ROOT", str(tmp_path))
+    mrs.dump_metrics_long()
+    out = pd.read_csv(tmp_path / "results" / "uci_metrics_long.csv")
+    assert list(out.columns) == [
+        "task", "protocol", "split", "dataset", "model", "metric", "seed", "value"
+    ]
+    assert len(out) == 4
+    sel = out[(out.task == "regression") & (out.dataset == "boston")]
+    assert sel.iloc[0].protocol == "outputs_precond_map"
+    assert sel.iloc[0].seed == 3 and sel.iloc[0].value == 0.07
+    nlls = out[(out.metric == "nll")].sort_values("seed").value.tolist()
+    assert nlls == [0.51, 0.49]
