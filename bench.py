@@ -227,15 +227,17 @@ def run_table(cpu_fallback: bool = False):
 
     out = {
         "config": {"N": N, "M": M, "J": J, "dtype": "float32",
-                   "device": str(jax.devices()[0]), "roof_tflops": TPU_ROOF_TFLOPS},
+                   "device": str(jax.devices()[0]),
+                   "backend": jax.default_backend(),
+                   "roof_tflops": TPU_ROOF_TFLOPS},
         "rows": rows,
     }
-    # never clobber the committed hardware table with shrunk dead-tunnel
-    # CPU rows — the fallback exists so the bench always returns, not to
-    # replace hardware numbers
-    table_path = (
-        "BENCH_TABLE_CPU_FALLBACK.json" if cpu_fallback else "BENCH_TABLE.json"
-    )
+    # never clobber the committed hardware table with CPU rows — keyed on the
+    # ACTUAL backend, not just the dead-tunnel probe: a run with
+    # JAX_PLATFORMS=cpu / PLST_PLATFORM=cpu (or on a machine without the TPU
+    # plugin) initialises fine on CPU and would otherwise overwrite the
+    # hardware numbers with full-sized CPU measurements
+    table_path = "BENCH_TABLE.json" if on_tpu else "BENCH_TABLE_CPU_FALLBACK.json"
     with open(table_path, "w") as f:
         json.dump(out, f, indent=2)
     print(f"wrote {table_path}", file=sys.stderr)

@@ -461,8 +461,10 @@ def headline_vs_svgp_section(
         + ".\nLower nll/mse wins, higher acc/auc/f1 wins; seed count in parens.\n"
         + (
             "\n*(host-CPU fp32 run of the same config — the TPU tunnel was"
-            " down for the tail of round 3; replace with the on-chip sweep"
-            " when `outputs_precond_smooth` completes.)*\n"
+            " down for the tail of round 3; `wine_uci` seeds 5/9 are the"
+            " exception and ran on the chip if present at n=10, fp32 both"
+            " backends — PARITY.md. Replace with the on-chip sweep when"
+            " `outputs_precond_smooth` completes.)*\n"
             if base.endswith("_smooth_cpu")
             else ""
         ),
@@ -488,14 +490,6 @@ def headline_vs_svgp_section(
                 continue
             pm, sm = p.mean(), s.mean()
             better_low = metric in lower_better
-            if abs(pm - sm) < 1e-4:
-                winner = "tie"
-                ties[metric] += 1
-            elif (pm < sm) == better_low:
-                winner = "**pls**"
-                wins[metric] += 1
-            else:
-                winner = "svgp"
             p_sd = p.std() if len(p) > 1 else 0.0
             s_sd = s.std() if len(s) > 1 else 0.0
             # Paired-by-seed comparison: the two models share every seed's
@@ -511,12 +505,28 @@ def headline_vs_svgp_section(
             else:
                 significant = False
             delta_cell = f"{d.mean():+.4f} +- {d.std() if len(d) > 1 else 0.0:.4f}"
+            # Winner label and sig counters must agree: a significant row is
+            # labelled from the SAME statistic the t-test used (the paired
+            # delta); pooled means only break the non-significant cases —
+            # otherwise a sub-1e-4 pooled gap with consistent per-seed
+            # deltas renders "tie (sig)" while crediting a side's counter.
             if significant:
                 sig_side = "pls" if (d.mean() < 0) == better_low else "svgp"
                 sig[metric][sig_side] += 1
+                winner = "**pls**" if sig_side == "pls" else "svgp"
+                if sig_side == "pls":
+                    wins[metric] += 1
                 winner = f"{winner} (sig)"
             else:
                 sig[metric]["ns"] += 1
+                if abs(pm - sm) < 1e-4:
+                    winner = "tie"
+                    ties[metric] += 1
+                elif (pm < sm) == better_low:
+                    winner = "**pls**"
+                    wins[metric] += 1
+                else:
+                    winner = "svgp"
                 winner = f"{winner} (ns)"
             rows.append(
                 f"| {dataset} | {pm:.4f} +- {p_sd:.4f} ({len(p)}) "

@@ -71,6 +71,13 @@ class SmoothedBernoulliCost(PLSCostMixin):
         pytree_node=False, default=SigmoidLinkFunction()
     )
     observation_noise: None = flax.struct.field(pytree_node=False, default=None)
+    # Static provenance of (gh_nodes, gh_weights): "hermgauss" is only set by
+    # the factory, which built them from numpy's hermgauss. Fused-tier
+    # eligibility keys on this STATIC tag, not the array values — under jit
+    # the values are tracers and cannot be inspected, and trusting a tracer
+    # would let a custom 16-point rule silently fuse against the kernel's
+    # baked-in hermgauss(16) (training a different cost than the off tier).
+    gh_rule: str = flax.struct.field(pytree_node=False, default="custom")
 
     def __post_init__(self):
         # The quadrature identities below are sigmoid-specific; a
@@ -150,6 +157,7 @@ def make_smoothed_bernoulli_cost(
         gh_nodes=jnp.asarray(nodes, dtype=dtype),
         gh_weights=jnp.asarray(weights, dtype=dtype),
         link_function=link_function,
+        gh_rule="hermgauss",
     )
 
 

@@ -48,12 +48,13 @@ def parallel_train_pls(
     (including the IPB -> W-space ONB rerouting for the non-Euler
     discretisations, and the chunked driver for long runs)."""
     from projected_langevin_sampling_tpu.training import (
+        NON_EULER_TIERS,
         ipb_w_space_view,
         needs_w_space_reroute,
         resolve_tier,
     )
 
-    if discretisation not in ("euler", "exponential", "preconditioned"):
+    if discretisation != "euler" and discretisation not in NON_EULER_TIERS:
         # same explanatory error as train_pls — and before
         # needs_w_space_reroute, which would otherwise treat the unknown
         # value as non-Euler and spuriously reroute an IPB basis

@@ -110,15 +110,22 @@ NON_EULER_TIERS = {
 _GH16_NODES, _GH16_WEIGHTS = np.polynomial.hermite.hermgauss(16)
 
 
-def _is_gh16_rule(nodes, weights) -> bool:
-    """True when (nodes, weights) is the physicists' hermgauss(16) rule.
-    Inside jit the values are abstract tracers and cannot be inspected —
-    there the host-side dispatch (``train_pls``/``resolve_tier``, which run
-    before tracing) has already validated them, so tracers pass. rtol covers
-    the f32 cast of the f64 constants; atol=0 so the 2.6e-10-sized weights
-    are compared relatively too."""
+def _is_gh16_rule(cost) -> bool:
+    """True when the cost's (gh_nodes, gh_weights) is the physicists'
+    hermgauss(16) rule. The factory stamps the STATIC ``gh_rule`` tag, which
+    survives tracing — a directly-constructed cost without the tag is
+    accepted only when its arrays are concrete and numerically match
+    (rtol covers the f32 cast of the f64 constants; atol=0 so the
+    2.6e-10-sized weights are compared relatively too). Under jit an
+    untagged cost's arrays are tracers and CANNOT be validated — refuse to
+    fuse rather than silently train the kernel's baked-in rule."""
+    nodes, weights = cost.gh_nodes, cost.gh_weights
     if isinstance(nodes, jax.core.Tracer) or isinstance(weights, jax.core.Tracer):
-        return True
+        # Abstract values cannot be validated; trust only the factory's
+        # static stamp. (A ``.replace(gh_nodes=...)`` that swaps the arrays
+        # under jit while keeping the stale tag is an explicit foot-gun —
+        # concrete arrays below are always checked numerically.)
+        return getattr(cost, "gh_rule", "custom") == "hermgauss"
     return bool(
         np.allclose(np.asarray(nodes), _GH16_NODES, rtol=1e-5, atol=0)
         and np.allclose(np.asarray(weights), _GH16_WEIGHTS, rtol=1e-5, atol=0)
@@ -176,7 +183,7 @@ def general_fused_cost_spec(basis, cost):
         # the factory) must stay on the XLA path or the fused and off tiers
         # would silently train different costs.
         and cost.gh_nodes.shape[0] == 16
-        and _is_gh16_rule(cost.gh_nodes, cost.gh_weights)
+        and _is_gh16_rule(cost)
     ):
         return ("bernoulli_sigmoid_smoothed", 0.0, 0.0, cost.smoothing_std)
     if (

@@ -6,6 +6,10 @@
 # as the CPU sweep (identical config/protocol, fp32 both; backend provenance
 # recorded here and in the run log).
 cd /root/repo
+# PLST_X64=0 is what actually selects the TPU: with x64 enabled main.py
+# force-pins the run to the host CPU (fp64 belongs on the host), which would
+# silently defeat this script's whole purpose.
+export PLST_X64=0
 export PYTHONPATH=/root/repo:/root/.axon_site
 BASE=experiments/uci/classification
 LOG=$BASE/run_r3_smooth_cpu.log

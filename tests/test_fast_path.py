@@ -304,3 +304,42 @@ def test_parallel_train_pls_rejects_unknown_discretisation():
             mesh, basis, cost, u0, number_of_epochs=1, key=0,
             discretisation="exponentail",
         )
+
+
+def test_general_fused_spec_under_jit_trusts_only_the_factory_tag():
+    """Inside jit the quadrature arrays are tracers and cannot be inspected:
+    a factory-built cost (static gh_rule tag) must still fuse, while an
+    untagged direct construction must refuse (it could carry any rule)."""
+    from projected_langevin_sampling_tpu.models.costs import (
+        SmoothedBernoulliCost,
+        make_smoothed_bernoulli_cost,
+    )
+    from projected_langevin_sampling_tpu.training import general_fused_cost_spec
+
+    basis, _ = _setup("onb")
+    y = jnp.asarray(np.random.default_rng(0).integers(0, 2, 32).astype(np.float64))
+    s = jnp.full(32, 0.3)
+    good = make_smoothed_bernoulli_cost(y_train=y, smoothing_std=s)
+    untagged = SmoothedBernoulliCost(
+        y_train=good.y_train, smoothing_std=good.smoothing_std,
+        gh_nodes=good.gh_nodes, gh_weights=good.gh_weights,
+    )
+    # concrete: both are numerically the hermgauss(16) rule, both fuse
+    assert general_fused_cost_spec(basis, untagged) is not None
+
+    results = {}
+
+    def probe_into(name):
+        @jax.jit
+        def probe(cost):
+            results[name] = general_fused_cost_spec(basis, cost)
+            return cost.y_train
+
+        return probe
+
+    probe_into("tagged")(good)
+    probe_into("untagged")(untagged)
+    assert results["tagged"] is not None and results["tagged"][0] == (
+        "bernoulli_sigmoid_smoothed"
+    )
+    assert results["untagged"] is None
