@@ -413,10 +413,15 @@ def _headline_dir(task: str) -> str | None:
     best = max(counts.values())
     if best == 0:
         return None
-    # Most-preferred candidate that is at least as complete as every
-    # less-preferred one (i.e. has the maximal result count).
+    # Most-preferred candidate that is essentially as complete as every
+    # less-preferred one. "Essentially": >=95% of the maximal result count —
+    # a strict-equality gate would flip the headline away from the preferred
+    # protocol over a couple of deferred seeds (e.g. wine_uci 5/9 waiting on
+    # the TPU tunnel) even though 236/240 results is a complete sweep for
+    # every headline purpose; any remaining per-dataset seed gap is
+    # documented in the section caption via the per-cell seed counts.
     for d in (smooth, smooth_cpu, mapdir, precond):
-        if counts[d] == best:
+        if counts[d] >= 0.95 * best:
             return d
     return None
 
