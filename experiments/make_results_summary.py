@@ -745,11 +745,14 @@ def main() -> None:
         sections.append(
             uci_section(
                 "UCI classification — HEADLINE "
-                f"({os.path.basename(headline_cls)}; breast_wdbc REAL)",
+                f"({os.path.basename(headline_cls)}; "
+                "breast_wdbc/digits_even/iris_binary/wine_uci REAL)",
                 os.path.relpath(headline_cls, ROOT),
                 ["nll", "acc", "auc", "f1"],
                 "PLS-ONB (Bernoulli-sigmoid) vs SVGP, kernels learned on\n"
-                "Dirichlet-transformed targets. `breast_wdbc` rows are REAL data.",
+                "Dirichlet-transformed targets. `breast_wdbc`, `digits_even`,\n"
+                "`iris_binary` and `wine_uci` rows are REAL (sklearn-bundled)\n"
+                "data; the rest are synthetic stand-ins (no egress).",
             )
         )
     sections += [
@@ -759,7 +762,8 @@ def main() -> None:
             ["nll", "acc", "auc", "f1"],
             "PLS-ONB (Bernoulli-sigmoid) vs SVGP, kernels learned on\n"
             "Dirichlet-transformed targets (the round-2 fix — see\n"
-            "tests/test_dirichlet.py). `breast_wdbc` rows are REAL data.",
+            "tests/test_dirichlet.py). `breast_wdbc`, `digits_even`,\n"
+            "`iris_binary` and `wine_uci` rows are REAL (sklearn-bundled) data.",
         ),
         ablation_section(),
         ablation_section("regression"),
