@@ -580,6 +580,46 @@ def headline_vs_svgp_section(
     return "\n".join(out)
 
 
+def multichip_section() -> str:
+    """Evidence table for the multi-chip harness lane: the config_parallel
+    energy_cooling run (`pls.parallel: {data: 2, particles: 4}` routed
+    through parallel/auto.py's GSPMD trainer on an 8-way virtual CPU mesh,
+    experiments/uci/regression/run_r3_parallel.log)."""
+    base = os.path.join(
+        ROOT, "experiments/uci/regression/outputs_parallel/0/results"
+    )
+    if not os.path.isdir(base):
+        return ""
+    out = [
+        "## Multi-chip harness run (8-way mesh, full reference protocol)\n",
+        "`config_parallel.yaml` — the reference regression protocol on\n"
+        "energy_cooling with `pls.parallel: {data: 2, particles: 4}`: the\n"
+        "harness routes `train_pls_runner` through `parallel_train_pls`\n"
+        "(parallel/auto.py, GSPMD over the unchanged scan) on a 2x4 virtual\n"
+        "CPU device mesh. Sharded training is exactly the single-device\n"
+        "trajectory under injected noise (tests/test_parallel.py, rtol 1e-9;\n"
+        "`__graft_entry__.dryrun_multichip` asserts the same parity for the\n"
+        "driver). Test-split metrics from the mesh run, all 12 model\n"
+        "variants (log: experiments/uci/regression/run_r3_parallel.log):\n",
+    ]
+    for metric in ("nll", "mse"):
+        path = os.path.join(base, f"{metric}_test.csv")
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            header = f.readline().strip().split(",")
+            row = f.readline().strip().split(",")
+        cols = [c for c in header[1:] if not c.endswith(("-temper",))]
+        out.append(f"### {metric} (test, dataset={row[0]})\n")
+        out.append("| model | value |")
+        out.append("|---|---|")
+        for name in cols:
+            val = float(row[header.index(name)])
+            out.append(f"| {name} | {val:.4f} |")
+        out.append("")
+    return "\n".join(out)
+
+
 def nystrom_section() -> str:
     """Reference vs nystrom ONB scaling on the UCI protocols
     (pls-onb rows only, test split)."""
@@ -772,6 +812,7 @@ def main() -> None:
         curve_classification_section(),
         poisson_section(),
         mixture_section(),
+        multichip_section(),
         profiler_section(),
     ]
     sections = [s for s in sections if s]
