@@ -20,6 +20,7 @@ PY := PYTHONPATH=$(CURDIR):/root/.axon_site python
 bench:
 	$(PY) bench.py
 	$(PY) bench.py --table
+	$(PY) bench.py --predict
 
 results:
 	$(PY) experiments/make_results_summary.py

@@ -244,7 +244,7 @@ def run_table(cpu_fallback: bool = False):
     return out
 
 
-def run_predict(n_star=4096, chunk=256, reps=3):
+def run_predict(n_star=4096, chunk=256, reps=3, cpu_fallback=False):
     """Serving-path throughput: exact joint predictive draw vs chunked
     serving (``PLS.predict_samples(chunk_size=...)``, O(N*/c (M+c)^3) with
     exact marginals). Reference predict cost is one eigh of an
@@ -256,6 +256,11 @@ def run_predict(n_star=4096, chunk=256, reps=3):
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    on_tpu = jax.default_backend() != "cpu"
+    if cpu_fallback or not on_tpu:
+        # keep the dead-tunnel / CPU run bounded; these sizes are not
+        # publishable numbers, only a smoke that the path works
+        n_star, reps = min(n_star, 1024), 1
     basis, cost = build()
     pls = PLS(basis=basis, cost=cost)
     particles = pls.initialise_particles(J, key=0)
@@ -294,6 +299,23 @@ def run_predict(n_star=4096, chunk=256, reps=3):
             f"({n_star / best:,.0f} points/s, {n_star * J / best:,.0f} draws/s)",
             file=sys.stderr,
         )
+    out = {
+        "config": {
+            "n_star": n_star,
+            "J": J,
+            "M": M,
+            "chunk": chunk,
+            "device": str(jax.devices()[0]),
+            "backend": jax.default_backend(),
+        },
+        "rows": rows,
+    }
+    # same clobber rule as the tier table: CPU numbers never overwrite the
+    # committed hardware serving benchmark
+    path = "BENCH_PREDICT.json" if on_tpu else "BENCH_PREDICT_CPU_FALLBACK.json"
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"wrote {path}", file=sys.stderr)
     print(json.dumps({"predict": rows}))
     return rows
 
@@ -364,6 +386,6 @@ if __name__ == "__main__":
     if args.table:
         run_table(cpu_fallback=cpu_fallback)
     elif args.predict:
-        run_predict()
+        run_predict(cpu_fallback=cpu_fallback)
     else:
         main(cpu_fallback=cpu_fallback)

@@ -50,6 +50,26 @@ def bench_section() -> str:
         )
     except OSError:
         out.append("(BENCH_TABLE.json missing — run `python bench.py --table`)\n")
+    try:
+        with open(os.path.join(ROOT, "BENCH_PREDICT.json")) as f:
+            pred = json.load(f)
+        cfg = pred["config"]
+        out.append(
+            "### Serving path (predictive sampling throughput)\n\n"
+            f"Exact joint predictive draw vs chunked serving "
+            f"(`PLS.predict_samples(chunk_size={cfg['chunk']})`), "
+            f"N*={cfg['n_star']}, J={cfg['J']} particles, "
+            f"device {cfg['device']}:\n"
+        )
+        rows = ["| mode | sec | points/s | sample draws/s |", "|---|---|---|---|"]
+        for r in pred["rows"]:
+            rows.append(
+                f"| {r['mode']} | {r['sec']:.3f} | {r['points_per_sec']:,.0f} | "
+                f"{r['sample_draws_per_sec']:,.0f} |"
+            )
+        out.append("\n".join(rows) + "\n")
+    except OSError:
+        pass
     return "\n".join(out)
 
 

@@ -313,3 +313,52 @@ def test_dump_metrics_long_roundtrip(tmp_path, monkeypatch):
     assert sel.iloc[0].seed == 3 and sel.iloc[0].value == 0.07
     nlls = out[(out.metric == "nll")].sort_values("seed").value.tolist()
     assert nlls == [0.51, 0.49]
+
+
+def test_bench_section_renders_serving_table(tmp_path, monkeypatch):
+    """bench_section renders the serving-path (predict) table when
+    BENCH_PREDICT.json is present and stays silent when it is absent —
+    the hardware file is only written by `bench.py --predict` on the chip
+    (CPU runs go to BENCH_PREDICT_CPU_FALLBACK.json and must not render)."""
+    import json as _json
+
+    from experiments import make_results_summary as mrs
+
+    monkeypatch.setattr(mrs, "ROOT", str(tmp_path))
+    assert "Serving path" not in mrs.bench_section()
+
+    (tmp_path / "BENCH_PREDICT.json").write_text(
+        _json.dumps(
+            {
+                "config": {
+                    "n_star": 4096,
+                    "J": 1000,
+                    "M": 512,
+                    "chunk": 256,
+                    "device": "TPU v5 lite0",
+                    "backend": "axon",
+                },
+                "rows": [
+                    {
+                        "mode": "joint",
+                        "n_star": 4096,
+                        "sec": 1.25,
+                        "points_per_sec": 3276.8,
+                        "sample_draws_per_sec": 3276800.0,
+                    },
+                    {
+                        "mode": "chunked[256]",
+                        "n_star": 4096,
+                        "sec": 0.25,
+                        "points_per_sec": 16384.0,
+                        "sample_draws_per_sec": 16384000.0,
+                    },
+                ],
+            }
+        )
+    )
+    section = mrs.bench_section()
+    assert "Serving path" in section
+    assert "chunked[256]" in section
+    assert "16,384" in section
+    assert "chunk_size=256" in section
