@@ -176,9 +176,20 @@ class InducingPointBasis(PLSBasisMixin):
                 augmentation_samples=augmentation_samples,
             )
         m = self.approximation_dimension
-        chol, _ = robust_cholesky(gram_induce_aug)
         rhs = particles - noise[:m, :]
-        solved = jax.scipy.linalg.cho_solve((chol, True), rhs)
+        if isinstance(gram_induce_aug, jax.core.Tracer):
+            # Under trace (the chunked serving path jit-vmaps this method) the
+            # host-side escalating-jitter Cholesky cannot run; solve via eigh
+            # with an eigenvalue floor instead — the same PSD guard
+            # sample_multivariate_normal applies, and vmap turns it into one
+            # batched eigh across chunks on device.
+            w, v = jnp.linalg.eigh(gram_induce_aug)
+            floor = jnp.finfo(gram_induce_aug.dtype).eps * jnp.max(jnp.abs(w))
+            w = jnp.maximum(w, floor)
+            solved = v @ ((v.T @ rhs) / w[:, None])
+        else:
+            chol, _ = robust_cholesky(gram_induce_aug)
+            solved = jax.scipy.linalg.cho_solve((chol, True), rhs)
         out = noise[m:, :] + gram_x_induce @ solved
         if self.mean_constant != 0.0:
             out = out + self.mean_constant

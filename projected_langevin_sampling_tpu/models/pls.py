@@ -21,6 +21,39 @@ from projected_langevin_sampling_tpu.utils.prng import KeyArray, as_key
 Array = jax.Array
 
 
+@jax.jit
+def _chunked_untransformed_samples(
+    basis: PLSBasisMixin,
+    particles: Array,
+    x_blocks: Array,
+    keys: Array,
+    x_aug_sentinel: Array,
+) -> Array:
+    """All serving chunks in ONE compiled program: vmap over the chunk axis
+    batches the per-chunk (M + c)^2 covariance factorisations (batched eigh
+    on device) and collapses the per-chunk dispatches — on the TPU tunnel
+    the eager per-chunk loop paid ~35 ms dispatch latency PER CHUNK plus a
+    serial eigh each. Marginal law per point is identical to the loop (and
+    to the unchunked joint); only the PRNG key schedule differs
+    (``split(key, B)`` instead of sequential splitting), which the chunked
+    path never promised to preserve.
+
+    ``basis`` must arrive with its kernel's approximation samples ALREADY
+    augmented with the full test batch (the host-side unique(concat) union
+    cannot run under trace); ``x_aug_sentinel`` is the zero-row (0, D) array
+    that tells ``PLSKernel.forward`` to skip re-augmentation."""
+
+    def one(x_chunk: Array, key: KeyArray) -> Array:
+        return basis.predict_untransformed_samples(
+            particles=particles,
+            x=x_chunk,
+            key=key,
+            augmentation_samples=x_aug_sentinel,
+        )
+
+    return jax.vmap(one)(x_blocks, keys)  # (B, c, J)
+
+
 class PLS:
     """Projected Langevin Sampling model.
 
@@ -134,23 +167,42 @@ class PLS:
                 particles=particles, x=x, noise=predictive_noise, key=key_pred
             )
         else:
-            import jax.numpy as jnp
+            n, c = x.shape[0], chunk_size
+            n_blocks = -(-n // c)
+            pad = n_blocks * c - n
+            if pad:
+                # pad with the last test point: duplicates only make the
+                # per-chunk covariance PSD-singular, which the eigenvalue
+                # clip in sample_multivariate_normal already handles; padded
+                # rows are dropped below
+                x_padded = jnp.concatenate(
+                    [x, jnp.broadcast_to(x[-1:], (pad, x.shape[1]))], axis=0
+                )
+            else:
+                x_padded = x
+            # Augment the kernel's approximation set with the FULL test batch
+            # ONCE on the host (the unique(concat) union is identical for
+            # every chunk), so every point's marginal law matches the
+            # unchunked joint; the zero-row sentinel makes the traced code
+            # use the pre-augmented kernel as-is.
+            from projected_langevin_sampling_tpu.ops.kernels import (
+                augment_approximation_samples,
+            )
 
-            blocks = []
-            for start in range(0, x.shape[0], chunk_size):
-                key_pred, subkey = jax.random.split(key_pred)
-                blocks.append(
-                    self.basis.predict_untransformed_samples(
-                        particles=particles,
-                        x=x[start : start + chunk_size],
-                        key=subkey,
-                        # keep the Z-union-x augmentation set equal to the FULL
-                        # test batch so every point's marginal law matches the
-                        # unchunked joint
-                        augmentation_samples=x,
+            basis_aug = self.basis.replace(
+                kernel=self.basis.kernel.replace(
+                    approximation_samples=augment_approximation_samples(
+                        self.basis.kernel.approximation_samples, x
                     )
                 )
-            untransformed = jnp.concatenate(blocks, axis=0)
+            )
+            untransformed = _chunked_untransformed_samples(
+                basis_aug,
+                particles,
+                x_padded.reshape(n_blocks, c, x.shape[1]),
+                jax.random.split(key_pred, n_blocks),
+                jnp.zeros((0, x.shape[1]), dtype=x.dtype),
+            ).reshape(n_blocks * c, particles.shape[1])[:n]
         return self.cost.predict_samples(
             untransformed_samples=untransformed,
             observation_noise=observation_noise,

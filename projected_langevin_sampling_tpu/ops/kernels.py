@@ -100,7 +100,14 @@ class PLSKernel:
         diag: bool = False,
     ) -> Array:
         samples = self.approximation_samples
-        if additional_approximation_samples is not None:
+        # A zero-row additional set is the "already augmented" sentinel used
+        # by the chunked serving path (pls.py), which performs the host-side
+        # unique(concat) union ONCE before tracing; the static shape check
+        # keeps this branch jit-safe.
+        if (
+            additional_approximation_samples is not None
+            and additional_approximation_samples.shape[0] > 0
+        ):
             samples = augment_approximation_samples(
                 samples, additional_approximation_samples
             )

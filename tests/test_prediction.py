@@ -166,3 +166,43 @@ def test_chunked_prediction_matches_marginals(trained):
     scale = np.abs(mean_full).max() + 1.0
     np.testing.assert_allclose(mean_chunk, mean_full, atol=0.1 * scale)
     np.testing.assert_allclose(var_chunk, var_full, rtol=0.35, atol=0.02)
+
+
+def test_chunked_prediction_ipb_matches_marginals(trained):
+    """The chunked serving path's host-side kernel pre-augmentation must also
+    work for the inducing-point basis (``basis.replace(kernel=...)`` +
+    zero-row sentinel), with per-point marginals matching the exact joint."""
+    from projected_langevin_sampling_tpu.models.basis import (
+        build_inducing_point_basis,
+    )
+
+    pls_onb, _, x, y, z, a, rhs = trained
+    y_induce = jnp.asarray(np.interp(np.asarray(z)[:, 0], np.asarray(x)[:, 0], np.asarray(y)))
+    basis = build_inducing_point_basis(
+        kernel=pls_onb.basis.kernel, x_induce=z, y_induce=y_induce, x_train=x
+    )
+    cost = GaussianCost(y_train=y, observation_noise=jnp.asarray(SIGMA2))
+    pls = PLS(basis=basis, cost=cost)
+    particles = pls.initialise_particles(3000, key=3)
+    particles = langevin_steps(basis, cost, particles, jax.random.key(4), 1e-3, 400)
+    x_test = jnp.asarray(np.linspace(-1.5, 1.5, 24)[:, None])
+
+    def stats(chunk_size, n_rep=8):
+        draws = []
+        for i in range(n_rep):
+            draws.append(
+                np.asarray(
+                    pls.predict_samples(
+                        particles=particles, x=x_test,
+                        key=jax.random.key(200 + i), chunk_size=chunk_size,
+                    )
+                )
+            )
+        flat = np.concatenate(draws, axis=1)
+        return flat.mean(axis=1), flat.var(axis=1)
+
+    mean_full, var_full = stats(None)
+    mean_chunk, var_chunk = stats(7)  # pad path: 7 does not divide 24
+    scale = np.abs(mean_full).max() + 1.0
+    np.testing.assert_allclose(mean_chunk, mean_full, atol=0.1 * scale)
+    np.testing.assert_allclose(var_chunk, var_full, rtol=0.35, atol=0.02)
