@@ -10,11 +10,39 @@ layer needs, so they can cross jit boundaries.
 
 from __future__ import annotations
 
+import math
+
 import flax.struct
 import jax
 import jax.numpy as jnp
 
 Array = jax.Array
+
+
+def student_t_log_normalizer(df: float) -> float:
+    """``log Gamma((df+1)/2) - log Gamma(df/2) - 0.5 log(df*pi)``, on host in
+    float64.
+
+    Evaluating the two lgammas on device in the compute dtype catastrophically
+    cancels for large df (their magnitudes grow like ``df*log(df)`` while the
+    difference stays O(log df)): at df ~ 1e12 — which ``scipy.stats.t.fit``
+    happily returns for near-Gaussian residuals — the float32 error is ~14
+    nats, which silently inflated every ``svgp-student`` NLL in the round-3
+    UCI tables. df is a static (non-pytree) field everywhere, so the constant
+    can always be computed on host. For df > 1e6 even float64 loses the
+    difference, so switch to the asymptotic expansion
+    ``log Gamma(x+1/2) - log Gamma(x) = 0.5 log x - 1/(8x) + O(x^-2)``
+    (x = df/2), which collapses to the Gaussian limit
+    ``-0.5 log(2 pi) - 1/(4 df)``.
+    """
+    df = float(df)
+    if df > 1e6:
+        return -0.5 * math.log(2.0 * math.pi) - 1.0 / (4.0 * df)
+    return (
+        math.lgamma((df + 1.0) / 2.0)
+        - math.lgamma(df / 2.0)
+        - 0.5 * math.log(df * math.pi)
+    )
 
 
 @flax.struct.dataclass
@@ -111,10 +139,14 @@ class StudentTMarginals:
     def log_prob(self, y: Array) -> Array:
         df = jnp.asarray(self.df, dtype=self.loc.dtype)
         z = (y - self.loc) / self.scale
+        # df-only normalizer on host in fp64 — the on-device lgamma difference
+        # cancels catastrophically in fp32 for the huge dfs t.fit returns on
+        # near-Gaussian residuals (see student_t_log_normalizer).
+        log_norm = jnp.asarray(
+            student_t_log_normalizer(self.df), dtype=self.loc.dtype
+        )
         return (
-            jax.lax.lgamma((df + 1.0) / 2.0)
-            - jax.lax.lgamma(df / 2.0)
-            - 0.5 * jnp.log(df * jnp.pi)
+            log_norm
             - jnp.log(self.scale)
             - ((df + 1.0) / 2.0) * jnp.log1p(jnp.square(z) / df)
         )

@@ -24,6 +24,7 @@ from projected_langevin_sampling_tpu.models.distributions import (
     Bernoulli,
     MultivariateNormal,
     StudentTMarginals,
+    student_t_log_normalizer,
 )
 
 Array = jax.Array
@@ -89,10 +90,11 @@ class StudentTLikelihood:
         scale = jnp.sqrt(self.noise)
         yy = y[:, None] if f.ndim == 2 and y.ndim == 1 else y
         z = (yy - f) / scale
+        # host-fp64 normalizer: the on-device lgamma difference cancels
+        # catastrophically in fp32 for the large dfs t.fit produces.
+        log_norm = jnp.asarray(student_t_log_normalizer(df), dtype=f.dtype)
         return (
-            jax.lax.lgamma(jnp.asarray((df + 1.0) / 2.0, dtype=f.dtype))
-            - jax.lax.lgamma(jnp.asarray(df / 2.0, dtype=f.dtype))
-            - 0.5 * jnp.log(df * jnp.pi)
+            log_norm
             - jnp.log(scale)
             - ((df + 1.0) / 2.0) * jnp.log1p(jnp.square(z) / df)
         )
@@ -101,10 +103,23 @@ class StudentTLikelihood:
         return _gauss_hermite(mean_f, var_f, lambda f: self.log_prob(y, f))
 
     def marginal(self, mean_f: Array, var_f: Array) -> StudentTMarginals:
-        """Student-T marginals centred on the latent mean with the learned
-        scale (the reference's ConformaliseGP averages gpytorch's sampled
-        marginals — same moments)."""
-        scale = jnp.sqrt(self.noise) * jnp.ones_like(mean_f)
+        """Student-T marginals centred on the latent mean, with the latent
+        variance folded in by moment matching: a scale ``s`` such that the
+        marginal's variance ``s^2 df/(df-2)`` equals the total predictive
+        variance ``var_f + noise*df/(df-2)``, i.e.
+        ``s^2 = noise + var_f (df-2)/df`` (``noise + var_f`` for df <= 2,
+        where the variance is undefined and we match the Gaussian limit).
+
+        The reference integrates the latent via gpytorch's sampled marginals
+        (``experiments/metrics.py:178``: ``model.likelihood(model(data.x))``)
+        but then reports the *positive* mean log-prob as "NLL"
+        (``metrics.py:98-99`` returns ``prediction.log_prob(y).mean()``
+        without negation — a sign bug). We keep an honest NLL and fold the
+        latent in by moment matching instead; documented in PARITY.md.
+        """
+        df = self.degrees_of_freedom
+        latent_factor = (df - 2.0) / df if df > 2.0 else 1.0
+        scale = jnp.sqrt(self.noise + var_f * latent_factor)
         return StudentTMarginals(
             df=self.degrees_of_freedom, loc=mean_f, scale=scale
         )

@@ -142,3 +142,43 @@ def test_predict_samples_applies_link_and_noise(f):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(cost.link_function(f)), rtol=1e-12
     )
+
+
+def test_student_t_log_normalizer_stable_at_huge_df():
+    """scipy.stats.t.fit returns df ~ 1e12 on near-Gaussian residuals; the
+    on-device fp32 lgamma difference then cancels catastrophically (~14 nats
+    — this silently inflated every svgp-student NLL in the round-3 UCI
+    tables before the fix). The host-fp64 normalizer must agree with scipy's
+    fp64 betaln route at small df and hit the Gaussian limit at huge df."""
+    from scipy import special
+
+    from projected_langevin_sampling_tpu.models.distributions import (
+        student_t_log_normalizer,
+    )
+
+    for df in [2.5, 4.0, 443.0, 9.9e5]:
+        exact = -special.betaln(df / 2.0, 0.5) - 0.5 * np.log(df)
+        assert student_t_log_normalizer(df) == pytest.approx(exact, abs=1e-9)
+    gauss = -0.5 * np.log(2.0 * np.pi)
+    for df in [1.1e6, 1214001615188.936, 7.7e12]:
+        assert student_t_log_normalizer(df) == pytest.approx(gauss, abs=1e-6)
+
+
+def test_student_t_marginals_nll_matches_gaussian_at_huge_df_fp32():
+    """End-to-end regression test for the fp32 cancellation: at df ~ 1e12 the
+    Student-T marginals are Gaussian to ~1e-11, so the fp32 NLL must equal
+    the Gaussian NLL — before the fix it was ~14 nats too large."""
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.normal(size=64), dtype=jnp.float32)
+    loc = jnp.asarray(rng.normal(size=64), dtype=jnp.float32)
+    scale = jnp.full(64, 0.1, dtype=jnp.float32)
+    st = StudentTMarginals(df=1214001615188.936, loc=loc, scale=scale)
+    gauss_nll = float(
+        jnp.mean(
+            0.5 * jnp.log(2.0 * jnp.pi * scale**2)
+            + 0.5 * jnp.square(y - loc) / scale**2
+        )
+    )
+    assert float(st.negative_log_likelihood(y)) == pytest.approx(
+        gauss_nll, abs=1e-3
+    )

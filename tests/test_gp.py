@@ -290,3 +290,23 @@ def test_svgp_minibatching_includes_partial_final_batch():
         learn_kernel_parameters=False, key=0,
     )
     assert trained2 is not None and all(np.isfinite(losses2))
+
+
+def test_student_t_marginal_moment_matches_latent_variance():
+    """StudentTLikelihood.marginal folds the latent variance in by moment
+    matching: Var[marginal] = var_f + noise*df/(df-2). The reference instead
+    integrates the latent via gpytorch's sampled marginals but then reports a
+    sign-flipped "NLL" (reference experiments/metrics.py:98-99) — PARITY.md."""
+    lik = StudentTLikelihood(noise=jnp.asarray(0.25), degrees_of_freedom=5.0)
+    mean_f = jnp.asarray([0.0, 1.0])
+    var_f = jnp.asarray([0.5, 2.0])
+    marg = lik.marginal(mean_f, var_f)
+    expected_var = np.asarray(var_f) + 0.25 * 5.0 / 3.0
+    np.testing.assert_allclose(np.asarray(marg.variance), expected_var, rtol=1e-6)
+    # df <= 2: variance undefined, Gaussian-limit fallback s^2 = noise + var_f
+    lik2 = StudentTLikelihood(noise=jnp.asarray(0.25), degrees_of_freedom=2.0)
+    np.testing.assert_allclose(
+        np.asarray(lik2.marginal(mean_f, var_f).scale) ** 2,
+        np.asarray(var_f) + 0.25,
+        rtol=1e-6,
+    )
