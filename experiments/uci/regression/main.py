@@ -69,6 +69,12 @@ parser.add_argument(
     "--outputs_dirname", type=str, required=False, default="outputs",
     help="outputs subdirectory (use a distinct one for non-default configs)",
 )
+parser.add_argument(
+    "--models", type=str, required=False, default=None,
+    help="comma-separated base model names (pls-onb, pls-student-onb, svgp, "
+    "svgp-student) to restrict the run to; for metrics-only recompute passes "
+    "over partially-populated output dirs",
+)
 
 MODEL_NAMES = [
     "pls-onb",
@@ -142,7 +148,12 @@ def main(
     svgp_config: dict,
     metrics_config: dict,
     outputs_path: str,
+    models_filter: set[str] | None = None,
 ) -> None:
+    """``models_filter``: restrict the PLS/SVGP model loop to these base model
+    names (e.g. ``{"svgp-student"}``) — used by metrics-only recompute passes
+    over partially-populated output dirs, where touching an un-checkpointed
+    model would trigger its (multi-hour) step-size search."""
     print(f"Running experiment for {dataset_name=} and {data_seed=}.")
     data_path = os.path.join(outputs_path, str(data_seed), "data", dataset_name)
     plots_path = os.path.join(outputs_path, str(data_seed), "plots", dataset_name)
@@ -284,6 +295,8 @@ def main(
         "pls-student-onb": PLS(basis=student_onb_basis, cost=student_cost),
     }
     for pls_name, pls in pls_dict.items():
+        if models_filter is not None and pls_name not in models_filter:
+            continue
         plot_eigenvalues(
             basis=pls.basis,
             save_path=os.path.join(plots_path, f"eigenvalues-{pls_name}.png"),
@@ -382,6 +395,8 @@ def main(
         ),
     }
     for model_name, svgp_likelihood in svgp_variants.items():
+        if models_filter is not None and model_name not in models_filter:
+            continue
         svgp_path = os.path.join(models_path, f"{model_name}.pkl")
         if os.path.exists(svgp_path):
             svgp, _, _ = load_svgp(svgp_path, likelihood=svgp_likelihood)
@@ -493,6 +508,9 @@ if __name__ == "__main__":
                     svgp_config=loaded_config["svgp"],
                     metrics_config=loaded_config["metrics"],
                     outputs_path=outputs_path,
+                    models_filter=(
+                        set(args.models.split(",")) if args.models else None
+                    ),
                 )
             except Exception as e:
                 # full traceback: a swallowed config typo otherwise turns a
