@@ -778,6 +778,14 @@ def main() -> None:
         headline_vs_svgp_section("regression", ("nll", "mse")),
     ]
     if headline_reg:
+        import glob as _glob
+
+        n_m0fix = len(
+            _glob.glob(os.path.join(headline_reg, "*", "models", "*", "pls-student-onb.m0fix"))
+        )
+        n_student = len(
+            _glob.glob(os.path.join(headline_reg, "*", "models", "*", "pls-student-onb.pkl"))
+        )
         sections.append(
             uci_section(
                 "UCI regression — HEADLINE "
@@ -786,7 +794,13 @@ def main() -> None:
                 ["nll", "mse", "mae"],
                 "12 model variants: PLS-ONB / PLS-Student-ONB / SVGP / SVGP-Student,\n"
                 "each raw + tempered + conformalised. `diabetes_sklearn` rows are\n"
-                "REAL data.",
+                "REAL data. PLS-Student cells retrained after the MAP\n"
+                "mean-constant fitter's descent-direction hardening (the\n"
+                "pre-fix Newton iteration degenerated to m0~0 on the\n"
+                "non-convex Student-T cost — see `run_r3_studentretrain.sh`):\n"
+                f"{n_m0fix}/{n_student}; the remainder still carry the\n"
+                "degenerate-m0 training (concrete seed 0 probe: test NLL\n"
+                "0.32 -> -0.21 from the fix alone).",
             )
         )
     sections.append(
