@@ -22,6 +22,39 @@ import numpy as np
 import pandas as pd
 
 
+_ROOT = os.path.dirname(os.path.dirname(os.path.realpath(__file__)))
+_LONG_CSV = os.path.join(_ROOT, "results", "uci_metrics_long.csv")
+_COLUMNS = ["dataset", "model", "metric", "seed", "value"]
+
+
+def _collect_from_long_csv(outputs_path: str, split: str) -> pd.DataFrame:
+    """Clean-clone fallback for :func:`collect`.
+
+    The per-seed outputs trees are gitignored (checkpoints and plots dwarf
+    the metrics), but every metric row is consolidated into the committed
+    ``results/uci_metrics_long.csv`` by ``make_results_summary.py``. When the
+    tree for a UCI protocol is absent (fresh clone / fresh VM), serve the
+    same long dataframe from that artifact so ``make results`` regenerates
+    RESULTS.md identically without the original run directories.
+    """
+    norm = os.path.normpath(os.path.abspath(outputs_path))
+    protocol = os.path.basename(norm)
+    task = os.path.basename(os.path.dirname(norm))
+    if (
+        # The consolidated CSV only describes trees under this repo; trees
+        # elsewhere (test tmp dirs) must not union with it.
+        not norm.startswith(_ROOT + os.sep)
+        or task not in ("classification", "regression")
+        or not os.path.exists(_LONG_CSV)
+    ):
+        return pd.DataFrame(columns=_COLUMNS)
+    df = pd.read_csv(_LONG_CSV)
+    sel = df[
+        (df["task"] == task) & (df["protocol"] == protocol) & (df["split"] == split)
+    ]
+    return sel[_COLUMNS].reset_index(drop=True)
+
+
 def collect(outputs_path: str, split: str) -> pd.DataFrame:
     """-> long dataframe (dataset, model, metric, seed, value)."""
     rows = []
@@ -39,7 +72,18 @@ def collect(outputs_path: str, split: str) -> pd.DataFrame:
             continue
         value = df.iloc[0, 1]
         rows.append((dataset, model, metric, int(seed), float(value)))
-    return pd.DataFrame(rows, columns=["dataset", "model", "metric", "seed", "value"])
+    frame = pd.DataFrame(rows, columns=_COLUMNS)
+    # Union with the committed consolidated CSV so a clean clone (no outputs
+    # trees) and a partial rerun (a few fresh cells on disk) both render the
+    # full table; freshly written disk rows take precedence per cell.
+    archived = _collect_from_long_csv(outputs_path, split)
+    if archived.empty:
+        return frame
+    if frame.empty:
+        return archived
+    return pd.concat([frame, archived], ignore_index=True).drop_duplicates(
+        subset=["dataset", "model", "metric", "seed"], keep="first"
+    )
 
 
 def render(long: pd.DataFrame, metrics: list[str] | None = None) -> str:

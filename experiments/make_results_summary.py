@@ -73,6 +73,30 @@ def bench_section() -> str:
     return "\n".join(out)
 
 
+SNAPSHOT_DIR = os.path.join(ROOT, "results", "section_snapshots")
+
+
+def _snapshot(name: str, content: str) -> str:
+    """Persist a live-rendered section / fall back to the committed snapshot.
+
+    The curve-family sections render from gitignored per-run artifacts
+    (checkpoint pickles, per-curve metric CSVs) that a clean clone does not
+    have. When the artifacts are present the live render wins and refreshes
+    the committed snapshot; otherwise the snapshot keeps `make results`
+    reproducing the full RESULTS.md. Each snapshot is the verbatim section
+    from the last run whose artifacts existed."""
+    path = os.path.join(SNAPSHOT_DIR, f"{name}.md")
+    if content:
+        os.makedirs(SNAPSHOT_DIR, exist_ok=True)
+        with open(path, "w") as f:
+            f.write(content)
+        return content
+    if os.path.exists(path):
+        with open(path) as f:
+            return f.read()
+    return ""
+
+
 def uci_section(name: str, outputs: str, metrics: list[str], note: str) -> str:
     out = [f"## {name}\n", note + "\n"]
     for split in ("train", "test"):
@@ -273,11 +297,14 @@ def poisson_section() -> str:
 
 
 def _n_results(d: str) -> int:
-    import glob
-
-    return len(
-        glob.glob(os.path.join(d, "[0-9]*", "results", "*", "*", "nll_test.csv"))
-    )
+    # collect() unions the on-disk tree with the committed consolidated CSV
+    # (results/uci_metrics_long.csv), so this count — and every headline /
+    # ablation gate built on it — survives a clean clone with no outputs
+    # trees. One nll row per (dataset, model, seed) == one nll_test.csv.
+    long = collect(d, "test")
+    if long.empty:
+        return 0
+    return int((long["metric"] == "nll").sum())
 
 
 ABLATION_PROTOCOLS = (
@@ -307,8 +334,6 @@ def ablation_section(task: str = "classification", model: str = "pls-onb") -> st
         ) > _n_results(outputs):
             # host-CPU fallback sweep from the TPU-outage window (same config)
             outputs = outputs + "_cpu"
-        if not os.path.isdir(outputs):
-            continue
         long = collect(outputs, "test")
         if long.empty:
             continue
@@ -735,13 +760,23 @@ def dump_metrics_long() -> None:
                 long.insert(0, "protocol", os.path.basename(outputs))
                 long.insert(0, "task", task)
                 frames.append(long)
-    if not frames:
-        return
-    out = pd.concat(frames, ignore_index=True)
     path = os.path.join(ROOT, "results", "uci_metrics_long.csv")
-    out.sort_values(["task", "protocol", "split", "dataset", "model", "metric", "seed"]).to_csv(
-        path, index=False
+    keys = ["task", "protocol", "split", "dataset", "model", "metric", "seed"]
+    # Incremental merge: fresh on-disk rows replace same-key archived rows,
+    # but protocols whose (gitignored) trees are absent keep their committed
+    # history — a partial rerun must never clobber the consolidated record.
+    parts = list(frames)
+    if os.path.exists(path):
+        try:
+            parts.append(pd.read_csv(path))
+        except Exception:
+            pass
+    if not parts:
+        return
+    out = pd.concat(parts, ignore_index=True).drop_duplicates(
+        subset=keys, keep="first"
     )
+    out.sort_values(keys).to_csv(path, index=False)
     print(f"wrote {path} ({len(out)} rows)")
 
 
@@ -786,6 +821,28 @@ def main() -> None:
         n_student = len(
             _glob.glob(os.path.join(headline_reg, "*", "models", "*", "pls-student-onb.pkl"))
         )
+        if n_student:
+            retrain_note = (
+                "PLS-Student cells retrained after the MAP\n"
+                "mean-constant fitter's descent-direction hardening (the\n"
+                "pre-fix Newton iteration degenerated to m0~0 on the\n"
+                "non-convex Student-T cost — see `run_r3_studentretrain.sh`):\n"
+                f"{n_m0fix}/{n_student}; the remainder still carry the\n"
+                "degenerate-m0 training (concrete seed 0 probe: test NLL\n"
+                "0.32 -> -0.21 from the fix alone)."
+            )
+        else:
+            # Clean clone: the (gitignored) model trees are absent and the
+            # tables are served from the consolidated CSV, whose student
+            # cells predate the fitter hardening.
+            retrain_note = (
+                "PLS-Student cells in the consolidated record predate the\n"
+                "MAP mean-constant fitter's descent-direction hardening (the\n"
+                "pre-fix Newton iteration degenerated to m0~0 on the\n"
+                "non-convex Student-T cost — see `run_r3_studentretrain.sh`;\n"
+                "concrete seed 0 probe: test NLL 0.32 -> -0.21 from the fix\n"
+                "alone). Rerun the sweep to refresh them."
+            )
         sections.append(
             uci_section(
                 "UCI regression — HEADLINE "
@@ -794,13 +851,7 @@ def main() -> None:
                 ["nll", "mse", "mae"],
                 "12 model variants: PLS-ONB / PLS-Student-ONB / SVGP / SVGP-Student,\n"
                 "each raw + tempered + conformalised. `diabetes_sklearn` rows are\n"
-                "REAL data. PLS-Student cells retrained after the MAP\n"
-                "mean-constant fitter's descent-direction hardening (the\n"
-                "pre-fix Newton iteration degenerated to m0~0 on the\n"
-                "non-convex Student-T cost — see `run_r3_studentretrain.sh`):\n"
-                f"{n_m0fix}/{n_student}; the remainder still carry the\n"
-                "degenerate-m0 training (concrete seed 0 probe: test NLL\n"
-                "0.32 -> -0.21 from the fix alone).",
+                "REAL data. " + retrain_note,
             )
         )
     sections.append(
@@ -842,9 +893,9 @@ def main() -> None:
         ablation_section(),
         ablation_section("regression"),
         nystrom_section(),
-        curves_section(),
-        curve_classification_section(),
-        poisson_section(),
+        _snapshot("curves_regression", curves_section()),
+        _snapshot("curves_classification", curve_classification_section()),
+        _snapshot("curves_poisson", poisson_section()),
         mixture_section(),
         multichip_section(),
         profiler_section(),

@@ -362,3 +362,62 @@ def test_bench_section_renders_serving_table(tmp_path, monkeypatch):
     assert "chunked[256]" in section
     assert "16,384" in section
     assert "chunk_size=256" in section
+
+
+def test_collect_clean_clone_fallback():
+    """collect() serves a repo-internal UCI protocol from the committed
+    results/uci_metrics_long.csv when (or even though) its gitignored
+    outputs tree is absent — this is what keeps `make results` reproducing
+    the full RESULTS.md from a clean clone."""
+    import os
+
+    from experiments.aggregate_seeds import collect
+
+    root = os.path.dirname(os.path.dirname(os.path.realpath(__file__)))
+    outputs = os.path.join(
+        root, "experiments", "uci", "classification", "outputs_precond_smooth_cpu"
+    )
+    long = collect(outputs, "test")
+    assert not long.empty
+    assert set(long.columns) == {"dataset", "model", "metric", "seed", "value"}
+    # the archived sweep covers the real datasets at 10 seeds
+    sub = long[(long.dataset == "breast_wdbc") & (long.metric == "nll")]
+    assert sub[sub.model == "pls-onb"].seed.nunique() == 10
+
+
+def test_dump_metrics_long_preserves_archived_protocols(tmp_path, monkeypatch):
+    """A partial rerun (one fresh outputs tree on disk) must merge into the
+    consolidated CSV, not clobber it: archived rows for protocols whose
+    trees are gone stay, and a fresh row replaces its same-key archived
+    value."""
+    import pandas as pd
+
+    from experiments import make_results_summary as mrs
+
+    d = (
+        tmp_path / "experiments" / "uci" / "classification" / "outputs" / "0"
+        / "results" / "ds" / "pls-onb"
+    )
+    d.mkdir(parents=True)
+    (d / "nll_test.csv").write_text("dataset,pls-onb\nds,0.40\n")
+    (tmp_path / "results").mkdir()
+    archived = pd.DataFrame(
+        [
+            # same key as the fresh row above: must be replaced by 0.40
+            ("classification", "outputs", "test", "ds", "pls-onb", "nll", 0, 0.99),
+            # protocol with no on-disk tree: must survive the rewrite
+            ("regression", "outputs_gone", "test", "boston", "svgp", "mse", 4, 0.07),
+        ],
+        columns=[
+            "task", "protocol", "split", "dataset", "model", "metric", "seed", "value"
+        ],
+    )
+    archived.to_csv(tmp_path / "results" / "uci_metrics_long.csv", index=False)
+    monkeypatch.setattr(mrs, "ROOT", str(tmp_path))
+    mrs.dump_metrics_long()
+    out = pd.read_csv(tmp_path / "results" / "uci_metrics_long.csv")
+    assert len(out) == 2
+    fresh = out[(out.protocol == "outputs") & (out.metric == "nll")]
+    assert fresh.iloc[0].value == 0.40
+    kept = out[out.protocol == "outputs_gone"]
+    assert len(kept) == 1 and kept.iloc[0].value == 0.07
