@@ -4,8 +4,11 @@
 #   make bench     — headline bench (one JSON line) + the per-tier/cost table
 #                    (BENCH_TABLE.json); runs on whatever backend JAX finds
 #                    (the real TPU under axon, CPU elsewhere)
-#   make results   — regenerate RESULTS.md from the committed experiment
-#                    outputs + BENCH_TABLE.json
+#   make results   — regenerate RESULTS.md; works from a CLEAN CLONE: the
+#                    gitignored per-seed outputs trees fall back to the
+#                    committed results/uci_metrics_long.csv and
+#                    results/section_snapshots/, and fresh partial reruns
+#                    merge into (never clobber) that record
 #   make test      — default (CPU, fp64, 8 virtual devices) test lane
 #   make test-tpu  — hardware lane: fused-kernel stochastic-law tests on the
 #                    real chip (writes results/tpu_test_lane.log)
