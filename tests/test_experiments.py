@@ -421,3 +421,17 @@ def test_dump_metrics_long_preserves_archived_protocols(tmp_path, monkeypatch):
     assert fresh.iloc[0].value == 0.40
     kept = out[out.protocol == "outputs_gone"]
     assert len(kept) == 1 and kept.iloc[0].value == 0.07
+
+
+def test_section_snapshot_roundtrip(tmp_path, monkeypatch):
+    """_snapshot persists a live-rendered section and serves it back when the
+    live render is empty (clean clone: the curve-family artifacts are
+    gitignored), refreshing whenever live content reappears."""
+    from experiments import make_results_summary as mrs
+
+    monkeypatch.setattr(mrs, "SNAPSHOT_DIR", str(tmp_path / "snaps"))
+    assert mrs._snapshot("curves", "") == ""          # nothing live, no snapshot
+    assert mrs._snapshot("curves", "## A\nv1\n") == "## A\nv1\n"
+    assert mrs._snapshot("curves", "") == "## A\nv1\n"  # fallback serves v1
+    assert mrs._snapshot("curves", "## A\nv2\n") == "## A\nv2\n"  # live refresh
+    assert mrs._snapshot("curves", "") == "## A\nv2\n"
