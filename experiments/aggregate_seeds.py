@@ -37,7 +37,10 @@ def _collect_from_long_csv(outputs_path: str, split: str) -> pd.DataFrame:
     same long dataframe from that artifact so ``make results`` regenerates
     RESULTS.md identically without the original run directories.
     """
-    norm = os.path.normpath(os.path.abspath(outputs_path))
+    # realpath (not abspath) on both sides: _ROOT is realpath-derived, so a
+    # repo reached through a symlinked path would otherwise silently fail the
+    # prefix check and disable the clean-clone fallback (empty UCI tables)
+    norm = os.path.normpath(os.path.realpath(outputs_path))
     protocol = os.path.basename(norm)
     task = os.path.basename(os.path.dirname(norm))
     if (

@@ -84,17 +84,37 @@ def _snapshot(name: str, content: str) -> str:
     have. When the artifacts are present the live render wins and refreshes
     the committed snapshot; otherwise the snapshot keeps `make results`
     reproducing the full RESULTS.md. Each snapshot is the verbatim section
-    from the last run whose artifacts existed."""
+    from the last run whose artifacts existed.
+
+    A PARTIAL live render (the curve sections skip curves whose artifacts are
+    missing, so a one-curve rerun yields a one-row table) must not clobber the
+    committed full record — mirroring the merge-never-clobber contract the CSV
+    path honours. Refresh only when the live render's table has at least as
+    many rows as the snapshot's; otherwise serve the snapshot."""
+
+    def _table_rows(text: str) -> int:
+        return sum(
+            1 for line in text.splitlines() if line.startswith("| ")
+        )
+
     path = os.path.join(SNAPSHOT_DIR, f"{name}.md")
+    existing = None
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = f.read()
     if content:
+        if existing is not None and _table_rows(content) < _table_rows(existing):
+            print(
+                f"[snapshot] {name}: live render has {_table_rows(content)} table "
+                f"rows < committed {_table_rows(existing)} — keeping the snapshot "
+                "(partial rerun)"
+            )
+            return existing
         os.makedirs(SNAPSHOT_DIR, exist_ok=True)
         with open(path, "w") as f:
             f.write(content)
         return content
-    if os.path.exists(path):
-        with open(path) as f:
-            return f.read()
-    return ""
+    return existing if existing is not None else ""
 
 
 def uci_section(name: str, outputs: str, metrics: list[str], note: str) -> str:

@@ -144,7 +144,13 @@ def train_svgp(
         learning_rate=learning_rate,
         learn_inducing_locations=learn_inducing_locations,
         learn_kernel_parameters=learn_kernel_parameters,
-        learn_observation_noise=likelihood_noise is None,
+        # Reference semantics (trainers.py:79-95): ``likelihood_noise`` only
+        # INITIALISES model.likelihood.noise.data — the noise parameter stays
+        # in ``all_params`` (only kernel params are ever excluded) and is
+        # optimised by SGD. Freezing it here (a pre-round-4 bug) pinned SVGP
+        # at the averaged subsample-GP noise and produced the overconfident
+        # regression NLLs flagged in round 3's audit.
+        learn_observation_noise=True,
         early_stopper_patience=early_stopper_patience,
         key=seed,
     )

@@ -376,7 +376,46 @@ def main() -> int:
     parser.add_argument("--only", nargs="*", default=None)
     parser.add_argument("--sklearn-bundled", action="store_true")
     parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument(
+        "--pin", action="store_true",
+        help="sha256 every CSV in --out into checksums.json (the committed "
+        "pin set; run after regenerating synthetic + sklearn-bundled data)",
+    )
+    parser.add_argument(
+        "--verify", action="store_true",
+        help="check every pinned sha256 in checksums.json against the CSVs "
+        "on disk; exit 1 on any mismatch or missing file",
+    )
     args = parser.parse_args()
+
+    checksum_path = os.path.join(args.out, "checksums.json")
+    if args.pin:
+        pins = {
+            os.path.splitext(f)[0]: _sha256(os.path.join(args.out, f))
+            for f in sorted(os.listdir(args.out))
+            if f.endswith(".csv")
+        }
+        with open(checksum_path, "w") as f:
+            json.dump(pins, f, indent=2, sort_keys=True)
+        print(f"pinned {len(pins)} CSVs in {checksum_path}")
+        return 0
+    if args.verify:
+        with open(checksum_path) as f:
+            pins = json.load(f)
+        bad = []
+        for name, expected in sorted(pins.items()):
+            path = os.path.join(args.out, f"{name}.csv")
+            if not os.path.exists(path):
+                bad.append(f"{name}: MISSING")
+            elif _sha256(path) != expected:
+                bad.append(f"{name}: sha256 mismatch")
+            else:
+                print(f"{name}: ok")
+        if bad:
+            print("\n".join(bad), file=sys.stderr)
+            return 1
+        print(f"all {len(pins)} pinned datasets verified")
+        return 0
 
     if args.sklearn_bundled:
         write_sklearn_bundled(args.out)

@@ -14,6 +14,7 @@ Usage: python experiments/uci/make_synthetic_datasets.py [--rows 1000] [--out DI
 from __future__ import annotations
 
 import argparse
+import hashlib
 import os
 
 import numpy as np
@@ -57,7 +58,14 @@ def main(rows: int, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
     for name_enum in list(RegressionDatasetSchema) + list(ClassificationDatasetSchema):
         schema = DATASET_SCHEMA_MAPPING[name_enum]
-        rng = np.random.default_rng(abs(hash(name_enum.value)) % 2**31)
+        # Stable digest, NOT Python hash(): str hashing is randomised per
+        # process (PYTHONHASHSEED), which silently made every regeneration a
+        # DIFFERENT dataset — discovered in round 4 when the wiped CSVs could
+        # not be reproduced. sha256 pins in checksums.json guard this now.
+        seed = int.from_bytes(
+            hashlib.sha256(name_enum.value.encode()).digest()[:4], "little"
+        )
+        rng = np.random.default_rng(seed)
         df = make_dataset(
             schema,
             rows,

@@ -435,3 +435,22 @@ def test_section_snapshot_roundtrip(tmp_path, monkeypatch):
     assert mrs._snapshot("curves", "") == "## A\nv1\n"  # fallback serves v1
     assert mrs._snapshot("curves", "## A\nv2\n") == "## A\nv2\n"  # live refresh
     assert mrs._snapshot("curves", "") == "## A\nv2\n"
+
+
+def test_section_snapshot_partial_render_keeps_committed_record(
+    tmp_path, monkeypatch
+):
+    """A partial live render (fewer table rows than the committed snapshot —
+    e.g. a one-curve rerun of a 10-curve section) must NOT clobber the full
+    record; an equally-complete or fuller render refreshes it."""
+    from experiments import make_results_summary as mrs
+
+    monkeypatch.setattr(mrs, "SNAPSHOT_DIR", str(tmp_path / "snaps"))
+    full = "## C\n| curve | nll |\n|---|---|\n| a | 1 |\n| b | 2 |\n| c | 3 |\n"
+    partial = "## C\n| curve | nll |\n|---|---|\n| a | 9 |\n"
+    fuller = full + "| d | 4 |\n"
+    assert mrs._snapshot("curves3", full) == full
+    assert mrs._snapshot("curves3", partial) == full   # partial kept out
+    assert mrs._snapshot("curves3", "") == full        # snapshot intact
+    assert mrs._snapshot("curves3", fuller) == fuller  # fuller refreshes
+    assert mrs._snapshot("curves3", "") == fuller

@@ -310,3 +310,36 @@ def test_student_t_marginal_moment_matches_latent_variance():
         np.asarray(var_f) + 0.25,
         rtol=1e-6,
     )
+
+
+def test_train_svgp_shim_learns_observation_noise():
+    """Reference semantics (``experiments/trainers.py:79-95``): passing
+    ``likelihood_noise`` only INITIALISES the likelihood's noise — the noise
+    parameter stays in the SGD parameter set and must move during training.
+    Round 3's shim froze it, pinning SVGP at the (often tiny) averaged
+    subsample-GP noise and wrecking its regression NLL (round-4 audit)."""
+    from experiments.data import Data
+    from experiments.trainers import train_svgp
+
+    x, y = _data(n=40, seed=3)
+    # deliberately-wrong init: true residual scale is ~0.1, init noise 1e-3
+    wrong_noise = 1e-3
+    model, losses = train_svgp(
+        train_data=Data(x=x, y=y),
+        inducing_points=Data(x=x[::5], y=y[::5]),
+        kernel=_kernel(),
+        likelihood=GaussianLikelihood(noise=jnp.asarray(1.0)),
+        seed=0,
+        number_of_epochs=300,
+        batch_size=64,
+        learning_rate=0.1,
+        learn_inducing_locations=False,
+        learn_kernel_parameters=False,
+        early_stopper_patience=float("inf"),
+        likelihood_noise=wrong_noise,
+    )
+    assert model is not None
+    learned = float(model.likelihood.noise)
+    assert not np.isclose(learned, wrong_noise, rtol=1e-3), (
+        "likelihood noise did not move — the trainer froze it again"
+    )
