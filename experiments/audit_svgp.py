@@ -436,13 +436,19 @@ if __name__ == "__main__":
         default="experiments/uci/regression/config_precond_map.yaml",
     )
     parser.add_argument("--out", type=str, default="results/audit_svgp.md")
+    parser.add_argument(
+        "--outputs_dirname", type=str, default="outputs_audit_svgp",
+        help="outputs tree under experiments/uci/regression — point at the "
+        "sweep's own tree (e.g. outputs_precond_map) to reuse its cached "
+        "experiment data / subsample GPs / inducing points",
+    )
     args = parser.parse_args()
 
     with open(args.config_path) as f:
         cfg = yaml.safe_load(f)
     outputs_path = os.path.join(
         os.path.dirname(os.path.realpath(__file__)),
-        "uci", "regression", "outputs_audit_svgp",
+        "uci", "regression", args.outputs_dirname,
     )
     rows = run_audit(
         dataset_names=args.datasets.split(","),

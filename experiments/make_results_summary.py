@@ -495,21 +495,30 @@ def headline_vs_svgp_section(
     task: str = "classification",
     metrics: tuple[str, ...] = ("nll", "acc", "auc", "f1"),
     lower_better: tuple[str, ...] = ("nll", "mse", "mae"),
+    datasets: tuple[str, ...] | None = None,
+    title_suffix: str = "",
 ) -> str:
     """PLS vs SVGP head-to-head on the headline protocol (nystrom scaling +
     preconditioned discretisation + empirical-Bayes MAP mean constant when
-    the map sweep is complete), test split."""
+    the map sweep is complete), test split.
+
+    ``datasets``: restrict to these dataset names (the real-data-only rollup
+    passes the REAL_DATASETS list so credible evidence never blends with
+    synthetic stand-ins in one table)."""
     base = _headline_dir(task)
     if base is None:
         return ""
     long = collect(base, "test")
+    if datasets is not None and not long.empty:
+        long = long[long["dataset"].isin(datasets)]
     if long.empty:
         return ""
     is_smooth = base.endswith(("_smooth", "_smooth_cpu"))
     is_map = base.endswith("_map") or is_smooth
     config_tag = "_smooth" if is_smooth else ("_map" if is_map else "")
     out = [
-        f"## PLS vs SVGP head-to-head (headline {task} protocol, test split)\n",
+        f"## PLS vs SVGP head-to-head (headline {task} protocol"
+        f"{title_suffix}, test split)\n",
         f"`config_precond{config_tag}.yaml`: consistent-KKL "
         "`scaling=nystrom` +\n"
         "`discretisation=preconditioned` (the round-3 stable data-term\n"
@@ -621,7 +630,9 @@ def headline_vs_svgp_section(
             )
             + ".\n"
         )
-    if is_map:
+    if datasets is not None:
+        pass  # the rollup is a compact evidence table; no protocol narration
+    elif is_map:
         out.append(
             "Root cause of the former gap (round-2 verdict): the reference\n"
             "trains SVGP's ConstantMean during ELBO optimisation while the\n"
@@ -643,6 +654,55 @@ def headline_vs_svgp_section(
             "pattern favours PLS (see breast_wdbc rows).\n"
         )
     return "\n".join(out)
+
+
+# The datasets whose CSVs are REAL measured data (sklearn-bundled UCI
+# studies, fetch_datasets.py --sklearn-bundled); everything else in the UCI
+# sweeps is a schema-compatible synthetic stand-in (no egress).
+REAL_DATASETS = {
+    "regression": ("diabetes_sklearn",),
+    "classification": ("breast_wdbc", "digits_even", "iris_binary", "wine_uci"),
+}
+
+
+def real_data_rollup_section() -> str:
+    """Head-to-head restricted to the REAL datasets only — the credible
+    evidence, never blended with synthetic stand-ins (round-4 VERDICT #5)."""
+    parts = []
+    for task, metrics in (
+        ("classification", ("nll", "acc", "auc", "f1")),
+        ("regression", ("nll", "mse")),
+    ):
+        s = headline_vs_svgp_section(
+            task, metrics, datasets=REAL_DATASETS[task], title_suffix=""
+        )
+        if s:
+            # strip the per-task protocol preamble; the rollup has its own
+            kept = [
+                line
+                for line in s.splitlines()
+                if line.startswith(
+                    ("###", "|", "Summary:", "Paired-by-seed", "models share")
+                )
+            ]
+            parts.append(
+                "\n".join(kept).replace("### ", f"### {task} — ") + "\n"
+            )
+    if not parts:
+        return ""
+    return "\n".join(
+        [
+            "## REAL-data-only rollup (headline protocols, test split)\n",
+            "Only datasets whose CSVs are real measured data (sklearn-bundled\n"
+            "UCI studies): regression `diabetes_sklearn`; classification\n"
+            "`breast_wdbc`, `digits_even`, `iris_binary`, `wine_uci`. The\n"
+            "synthetic stand-ins never enter these tables — this is the\n"
+            "evidence that survives when the real UCI CSVs replace the\n"
+            "stand-ins (`fetch_datasets.py` + checksums.json pins).\n",
+            *parts,
+            "",
+        ]
+    )
 
 
 def multichip_section() -> str:
@@ -831,6 +891,7 @@ def main() -> None:
         bench_section(),
         headline_vs_svgp_section("classification", ("nll", "acc", "auc", "f1")),
         headline_vs_svgp_section("regression", ("nll", "mse")),
+        real_data_rollup_section(),
     ]
     if headline_reg:
         import glob as _glob
