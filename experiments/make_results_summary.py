@@ -705,6 +705,57 @@ def real_data_rollup_section() -> str:
     )
 
 
+def scaling_curve_section() -> str:
+    """Measured multi-device scaling-overhead curve (bench_scaling.py):
+    both parallel paths EXECUTED on the 8-way virtual CPU mesh and timed."""
+    path = os.path.join(ROOT, "results", "scaling_curve.json")
+    if not os.path.exists(path):
+        return ""
+    import json
+
+    with open(path) as f:
+        data = json.load(f)
+    prov = data.get("provenance", {})
+    shape = prov.get("shape", {})
+    out = [
+        "## Multi-device scaling overhead (8-way virtual CPU mesh, measured)\n",
+        "`bench_scaling.py` runs (not just compiles) both parallel paths on\n"
+        "an 8-way virtual CPU mesh at J="
+        f"{shape.get('J')}, M={shape.get('M')}, N={shape.get('N')}. The host\n"
+        "has ONE physical core, so all virtual devices time-share it:\n"
+        "aggregate updates/s cannot rise with device count here — the\n"
+        "committed quantity is the PARTITIONING + COLLECTIVE OVERHEAD.\n"
+        "`eff(D) = agg(D)/agg(1)` lower-bounds the structural parallel\n"
+        "efficiency: on real chips per-device compute shrinks ~1/D while\n"
+        "this overhead stays.\n",
+        "| path | mesh (data x particles) | devices | updates/s | eff vs 1 dev |",
+        "|---|---|---|---|---|",
+    ]
+    # efficiency computed per row against the path's own 1-device run (the
+    # JSON's efficiency_vs_1dev dict is keyed by device count and collides
+    # when several 8-device meshes exist)
+    base_ups = {
+        r["path"]: r["updates_per_s"]
+        for r in data.get("rows", [])
+        if r["devices"] == 1
+    }
+    for r in data.get("rows", []):
+        b = base_ups.get(r["path"])
+        e_cell = f"{r['updates_per_s'] / b:.2f}" if b else "—"
+        out.append(
+            f"| {r['path']} | {r['mesh']} | {r['devices']} "
+            f"| {r['updates_per_s']:.0f} | {e_cell} |"
+        )
+    out.append(
+        "\nParticle-axis sharding (the psum-free direction) costs ~nothing\n"
+        "(eff ~1.0); the all-data 8x1 mesh pays the one-psum-per-step data\n"
+        "drift (eff ~0.33 on this host) — the designed layout tradeoff\n"
+        "(parallel/sharded.py module docstring). The GSPMD spectral tier has\n"
+        "zero per-step collectives on the particle axis.\n"
+    )
+    return "\n".join(out)
+
+
 def multichip_section() -> str:
     """Evidence table for the multi-chip harness lane: the config_parallel
     energy_cooling run (`pls.parallel: {data: 2, particles: 4}` routed
@@ -979,6 +1030,7 @@ def main() -> None:
         _snapshot("curves_poisson", poisson_section()),
         mixture_section(),
         multichip_section(),
+        scaling_curve_section(),
         profiler_section(),
     ]
     sections = [s for s in sections if s]
