@@ -190,6 +190,84 @@ def test_train_pls_runner_step_size_search(tmp_path):
     assert best_lr is not None and epochs > 0
 
 
+def test_train_pls_runner_rejects_finite_but_diverging_candidate(tmp_path):
+    """Pins the documented semantic deviation from the reference
+    (``runners.py:300-322`` here vs reference ``runners.py:373``): a
+    candidate whose energy NEVER improves on the initial particles must be
+    discarded even when its particles stay finite.
+
+    The reference keeps any isfinite candidate — this test constructs a step
+    size above the OU stability bound whose trajectory grows slowly enough
+    to stay finite for the whole (short) run, i.e. a case where the
+    reference semantics would hand the step-size search garbage particles.
+    """
+    from experiments.runners import train_pls_runner
+    from projected_langevin_sampling_tpu.models.basis import build_orthonormal_basis
+    from projected_langevin_sampling_tpu.models.costs import GaussianCost
+    from projected_langevin_sampling_tpu.models.pls import PLS
+    from projected_langevin_sampling_tpu.ops.kernels import ARDKernel, PLSKernel
+    from projected_langevin_sampling_tpu.training import train_pls
+
+    rng = np.random.default_rng(1)
+    n = 40
+    x = jnp.asarray(np.sort(rng.uniform(-2, 2, (n, 1)), axis=0))
+    y = jnp.asarray(np.sin(2 * np.asarray(x)[:, 0]) + 0.1 * rng.normal(size=n))
+    kernel = PLSKernel(
+        base_kernel=ARDKernel(jnp.asarray([0.5]), jnp.asarray(1.0)),
+        approximation_samples=x,
+    )
+    basis = build_orthonormal_basis(
+        kernel, x[::5], x, eigenvalue_threshold=1e-3, verbose=False
+    )
+    cost = GaussianCost(y_train=y, observation_noise=jnp.asarray(0.1))
+    pls = PLS(basis=basis, cost=cost)
+    ed = ExperimentData(
+        name="t", problem_type=ProblemType.REGRESSION,
+        full=Data(x=x, y=y, name="full"),
+        train=Data(x=x, y=y, name="train"),
+        test=Data(x=x, y=y, name="test"),
+    )
+    particles = pls.initialise_particles(16, key=0)
+    e0 = float(pls.calculate_energy_potential(particles))
+
+    # find a finite-but-never-improving step size: above the stability bound
+    # (energy grows every step) but short enough (duration / eta steps) that
+    # nothing overflows to inf in fp64
+    duration = 0.1
+    bad_eta = None
+    for eta in [0.05, 0.02, 0.01, 5e-3]:
+        p_i, energies = train_pls(
+            pls, particles, int(duration / eta), eta, key=0
+        )
+        if (
+            bool(jnp.isfinite(p_i).all())
+            and len(energies)
+            and min(float(e) for e in energies) > e0
+        ):
+            bad_eta = eta
+            break
+    assert bad_eta is not None, "no finite-but-diverging step size found"
+    # ^ the reference's isfinite-only filter (runners.py:373) would KEEP this
+    #   candidate: its particles are finite though its energy only ever grew.
+
+    out, best_lr, epochs = train_pls_runner(
+        pls=pls,
+        particles=particles,
+        particle_name="t",
+        experiment_data=ed,
+        simulation_duration=duration,
+        maximum_number_of_steps=int(duration / bad_eta),
+        early_stopper_patience=float("inf"),
+        number_of_step_searches=1,
+        step_size_upper=bad_eta,
+        minimum_change_in_energy_potential=1e-30,
+        seed=0,
+        metric_to_optimise="loss",
+    )
+    assert best_lr is None and epochs == 0  # the garbage candidate was discarded
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(particles))
+
+
 def test_set_seed_host_rngs_and_key():
     """set_seed pins the host RNGs and returns a JAX key
     (reference src/utils.py:8-22 analog)."""
