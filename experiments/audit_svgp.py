@@ -301,29 +301,45 @@ def run_audit(dataset_names, seeds, cfg, outputs_path):
             experiment_data, inducing_points, pls_kernel, noise0, mean0 = _setup(
                 dataset_name, seed, cfg, outputs_path
             )
-            # --- JAX SVGP through the sweep's own runner (fixed trainer)
-            svgp, losses, best_lr = train_svgp_runner(
-                model_name="svgp",
-                experiment_data=experiment_data,
-                inducing_points=inducing_points,
-                kernel=pls_kernel,
-                likelihood=GaussianLikelihood(noise=jnp.asarray(noise0)),
-                seed=svgp_cfg["seed"],
-                number_of_epochs=svgp_cfg["number_of_epochs"],
-                batch_size=svgp_cfg["batch_size"],
-                learning_rate_upper=svgp_cfg["learning_rate_upper"],
-                learning_rate_lower=svgp_cfg["learning_rate_lower"],
-                number_of_learning_rate_searches=svgp_cfg[
-                    "number_of_learning_rate_searches"
-                ],
-                is_fixed=True,
-                observation_noise=noise0,
-                mean_constant=mean0,
-                early_stopper_patience=svgp_cfg["early_stopper_patience"],
-                models_path=os.path.join(
-                    outputs_path, str(seed), "models", dataset_name, "svgp-audit"
-                ),
+            # --- JAX SVGP through the sweep's own runner (fixed trainer).
+            # When pointed at the sweep's outputs tree, its already-trained
+            # svgp.pkl is the exact model under audit — load it instead of
+            # retraining.
+            sweep_ckpt = os.path.join(
+                outputs_path, str(seed), "models", dataset_name, "svgp.pkl"
             )
+            if os.path.exists(sweep_ckpt):
+                from experiments.loaders import load_svgp
+                from projected_langevin_sampling_tpu.models.gaussian_process import (
+                    GaussianLikelihood as _GL,
+                )
+
+                svgp, _, _ = load_svgp(
+                    sweep_ckpt, likelihood=_GL(noise=jnp.asarray(noise0))
+                )
+            else:
+                svgp, _losses, _best_lr = train_svgp_runner(
+                    model_name="svgp",
+                    experiment_data=experiment_data,
+                    inducing_points=inducing_points,
+                    kernel=pls_kernel,
+                    likelihood=GaussianLikelihood(noise=jnp.asarray(noise0)),
+                    seed=svgp_cfg["seed"],
+                    number_of_epochs=svgp_cfg["number_of_epochs"],
+                    batch_size=svgp_cfg["batch_size"],
+                    learning_rate_upper=svgp_cfg["learning_rate_upper"],
+                    learning_rate_lower=svgp_cfg["learning_rate_lower"],
+                    number_of_learning_rate_searches=svgp_cfg[
+                        "number_of_learning_rate_searches"
+                    ],
+                    is_fixed=True,
+                    observation_noise=noise0,
+                    mean_constant=mean0,
+                    early_stopper_patience=svgp_cfg["early_stopper_patience"],
+                    models_path=os.path.join(
+                        outputs_path, str(seed), "models", dataset_name, "svgp-audit"
+                    ),
+                )
             jax_nll, jax_mse = jax_svgp_metrics(
                 svgp, experiment_data.test.x, experiment_data.test.y
             )
