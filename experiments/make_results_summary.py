@@ -389,7 +389,14 @@ def ablation_section(task: str = "classification", model: str = "pls-onb") -> st
             f"## Protocol ablation — {task} test NLL (PLS-ONB), mean over seeds\n",
             "Each column adds one round-3 ingredient to the previous\n"
             "(protocol details in the head-to-head sections above); the SVGP\n"
-            "column is the shared baseline from the MAP run's checkpoints.\n",
+            "column is the shared baseline from the MAP run's checkpoints.\n"
+            "PROVENANCE: columns whose protocol was not rerun in round 4 were\n"
+            "computed on the round-3 synthetic stand-ins, which predate the\n"
+            "deterministic (sha256-pinned) generator — for SYNTHETIC datasets\n"
+            "they are comparable within a column but not against round-4\n"
+            "columns; REAL-dataset rows (breast_wdbc, digits_even,\n"
+            "iris_binary, wine_uci, diabetes_sklearn) are unaffected (their\n"
+            "CSVs are byte-identical).\n",
             *lines,
             "",
         ]
@@ -915,14 +922,21 @@ def main() -> None:
     headline_cls = _headline_dir("classification")
     headline_reg = _headline_dir("regression")
     sections = [
-        "# RESULTS — round-3 experiment runs\n",
+        "# RESULTS — round-4 experiment runs\n",
         "End-to-end runs of the experiment harness at the reference's LONG\n"
         "config (simulation_duration 0.5, <=1e7 Langevin steps, 5-point\n"
         "step-size search, J=100 particles), over the reference's 10-data-seed\n"
         "protocol, on the real TPU v5e chip in float32 (fp64 numerics-critical\n"
-        "factorisations on host; the headline CLASSIFICATION sweep ran the\n"
-        "same config fp32 on the host CPU during the round-3 tail's\n"
-        "TPU-tunnel outage — provenance noted in its section). HEADLINE\n"
+        "factorisations on host). ROUND-4 PROVENANCE: both headline sweeps\n"
+        "were rerun from scratch on-chip on DETERMINISTIC sha256-pinned\n"
+        "stand-in data (the round-3 generator was seeded via Python's\n"
+        "randomised hash(); `fetch_datasets.py --verify` now pins every CSV)\n"
+        "with the FIXED SVGP trainer (the likelihood noise is optimised, as\n"
+        "in the reference — round 3 froze it, wrecking SVGP's regression\n"
+        "NLL; `results/audit_svgp.md` validates the fixed trainer to ~1e-3\n"
+        "nats against a faithful fp64 torch re-implementation of the\n"
+        "gpytorch protocol) and the hardened MAP mean-constant fitter\n"
+        "(PLS-Student cells are fresh, no stale-fitter caveat). HEADLINE\n"
         "protocol = the consistent-KKL\n"
         "`scaling=nystrom` ONB + the Lambda-preconditioned discretisation\n"
         "(same stationary posterior; docs/DESIGN.md 'ONB prior scaling')\n"
@@ -945,36 +959,16 @@ def main() -> None:
         real_data_rollup_section(),
     ]
     if headline_reg:
-        import glob as _glob
-
-        n_m0fix = len(
-            _glob.glob(os.path.join(headline_reg, "*", "models", "*", "pls-student-onb.m0fix"))
+        # Round 4 retrained the whole headline sweep from scratch, so every
+        # PLS-Student cell was fitted with the hardened (descent-direction)
+        # MAP mean-constant Newton iteration — the round-3 stale-fitter
+        # caveat no longer applies to any cell in the consolidated record.
+        retrain_note = (
+            "All cells are round-4 retrains on the deterministic pinned\n"
+            "data; PLS-Student models use the hardened MAP mean-constant\n"
+            "fitter throughout (the round-3 record carried pre-hardening\n"
+            "cells — fully superseded)."
         )
-        n_student = len(
-            _glob.glob(os.path.join(headline_reg, "*", "models", "*", "pls-student-onb.pkl"))
-        )
-        if n_student:
-            retrain_note = (
-                "PLS-Student cells retrained after the MAP\n"
-                "mean-constant fitter's descent-direction hardening (the\n"
-                "pre-fix Newton iteration degenerated to m0~0 on the\n"
-                "non-convex Student-T cost — see `run_r3_studentretrain.sh`):\n"
-                f"{n_m0fix}/{n_student}; the remainder still carry the\n"
-                "degenerate-m0 training (concrete seed 0 probe: test NLL\n"
-                "0.32 -> -0.21 from the fix alone)."
-            )
-        else:
-            # Clean clone: the (gitignored) model trees are absent and the
-            # tables are served from the consolidated CSV, whose student
-            # cells predate the fitter hardening.
-            retrain_note = (
-                "PLS-Student cells in the consolidated record predate the\n"
-                "MAP mean-constant fitter's descent-direction hardening (the\n"
-                "pre-fix Newton iteration degenerated to m0~0 on the\n"
-                "non-convex Student-T cost — see `run_r3_studentretrain.sh`;\n"
-                "concrete seed 0 probe: test NLL 0.32 -> -0.21 from the fix\n"
-                "alone). Rerun the sweep to refresh them."
-            )
         sections.append(
             uci_section(
                 "UCI regression — HEADLINE "
@@ -995,7 +989,10 @@ def main() -> None:
             "each raw + tempered + conformalised. `diabetes_sklearn` rows are\n"
             "REAL data. The reference ONB scaling over-shrinks the prior\n"
             "(docs/DESIGN.md), so raw PLS NLL trails SVGP here by design of\n"
-            "the parity protocol — see the headline/nystrom sections.",
+            "the parity protocol — see the headline/nystrom sections.\n"
+            "PROVENANCE: round-3 archive (pre-determinism stand-ins, frozen-\n"
+            "noise SVGP trainer) — superseded as evidence by the round-4\n"
+            "headline sweep; kept for the protocol-shape parity record.",
         )
     )
     if headline_cls:
@@ -1020,7 +1017,10 @@ def main() -> None:
             "PLS-ONB (Bernoulli-sigmoid) vs SVGP, kernels learned on\n"
             "Dirichlet-transformed targets (the round-2 fix — see\n"
             "tests/test_dirichlet.py). `breast_wdbc`, `digits_even`,\n"
-            "`iris_binary` and `wine_uci` rows are REAL (sklearn-bundled) data.",
+            "`iris_binary` and `wine_uci` rows are REAL (sklearn-bundled) data.\n"
+            "PROVENANCE: round-3 archive (pre-determinism stand-ins) —\n"
+            "superseded as evidence by the round-4 headline sweep; kept for\n"
+            "the protocol-shape parity record.",
         ),
         ablation_section(),
         ablation_section("regression"),
