@@ -113,18 +113,21 @@ def main() -> None:
 
     rows = []
 
-    def record(path, mesh_desc, n_dev, run):
+    def record(path, mesh_desc, n_dev, run, work_items=None, unit="updates"):
+        """``work_items``: units completed per timed call (defaults to the
+        Langevin step count; serving cells pass points-per-call)."""
         run()  # compile + warm up
         dt = _time(run, args.reps)
-        ups = steps / dt
+        work = steps if work_items is None else work_items
         rows.append(
             {
                 "path": path,
                 "mesh": mesh_desc,
                 "devices": n_dev,
-                "steps": steps,
+                "work_items": work,
+                "unit": unit,
                 "seconds": round(dt, 4),
-                "updates_per_s": round(ups, 1),
+                "updates_per_s": round(work / dt, 1),
             }
         )
         print(json.dumps(rows[-1]), flush=True)
@@ -142,6 +145,32 @@ def main() -> None:
             jax.block_until_ready(out)
 
         record("shard_map/general", f"{n_data}x{n_particles}", n_dev, run)
+
+    # --- sharded chunked serving: the chunk axis over the mesh (zero
+    # collectives; the heavy per-chunk (M+c)^2 eigh parallelises cleanly)
+    from projected_langevin_sampling_tpu.models.pls import PLS
+
+    pls = PLS(basis=basis, cost=cost)
+    n_star, chunk = 512, 64
+    rng = np.random.default_rng(7)
+    x_star = jnp.asarray(
+        np.sort(rng.uniform(-3, 3, (n_star, 1)), axis=0), dtype=jnp.float32
+    )
+    serve_particles = particles[:, :128]
+    for n_particles in [1, 2, 4, 8]:
+        mesh = make_mesh(1, n_particles, devices=jax.devices()[:n_particles])
+
+        def run(mesh=mesh):
+            out = pls.predict_samples(
+                particles=serve_particles, x=x_star, key=jax.random.key(3),
+                chunk_size=chunk, mesh=mesh,
+            )
+            jax.block_until_ready(out)
+
+        record(
+            "shard_map/serving", f"1x{n_particles}", n_particles, run,
+            work_items=n_star, unit="points",
+        )
 
     # --- GSPMD path: spectral tier (zero per-step collectives on J)
     for n_particles in [1, 2, 4, 8]:

@@ -735,7 +735,7 @@ def scaling_curve_section() -> str:
         "`eff(D) = agg(D)/agg(1)` lower-bounds the structural parallel\n"
         "efficiency: on real chips per-device compute shrinks ~1/D while\n"
         "this overhead stays.\n",
-        "| path | mesh (data x particles) | devices | updates/s | eff vs 1 dev |",
+        "| path | mesh (data x particles) | devices | throughput | eff vs 1 dev |",
         "|---|---|---|---|---|",
     ]
     # efficiency computed per row against the path's own 1-device run (the
@@ -751,7 +751,7 @@ def scaling_curve_section() -> str:
         e_cell = f"{r['updates_per_s'] / b:.2f}" if b else "—"
         out.append(
             f"| {r['path']} | {r['mesh']} | {r['devices']} "
-            f"| {r['updates_per_s']:.0f} | {e_cell} |"
+            f"| {r['updates_per_s']:.0f} {r.get('unit', 'updates')}/s | {e_cell} |"
         )
     out.append(
         "\nParticle-axis sharding (the psum-free direction) costs ~nothing\n"

@@ -11,6 +11,8 @@ the pure methods of the basis/cost pytrees, so the hot loop in
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -52,6 +54,38 @@ def _chunked_untransformed_samples(
         )
 
     return jax.vmap(one)(x_blocks, keys)  # (B, c, J)
+
+
+def _sharded_chunked_untransformed_samples(
+    mesh,
+    basis: PLSBasisMixin,
+    particles: Array,
+    x_blocks: Array,
+    keys: Array,
+    x_aug_sentinel: Array,
+) -> Array:
+    """Chunked serving sharded over the mesh (round-4 stretch): the chunk
+    axis is embarrassingly parallel — each device draws its own blocks'
+    joint predictives (basis/particles replicated, zero collectives). Same
+    per-chunk keys as the single-device vmap, so draws match
+    ``_chunked_untransformed_samples`` on the same block padding up to
+    compile-vs-eager float reassociation (tests/test_prediction.py)."""
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[-1]  # the particle axis doubles as the serve axis
+
+    def shard_fn(x_b, k_b):
+        return _chunked_untransformed_samples(
+            basis, particles, x_b, k_b, x_aug_sentinel
+        )
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis)),
+        out_specs=P(axis, None, None),
+    )
+    return jax.jit(fn)(x_blocks, keys)
 
 
 class PLS:
@@ -148,6 +182,7 @@ class PLS:
         observation_noise: Array | None = None,
         key: KeyArray | int | None = None,
         chunk_size: int | None = None,
+        mesh=None,
     ) -> Array:
         """(N*, J) output-space samples (reference :140-163). Noise tensors may
         be injected for deterministic parity testing.
@@ -159,6 +194,11 @@ class PLS:
         law is unchanged (which is all the metrics/quantile paths consume);
         only the noise correlations BETWEEN points in different chunks are
         dropped. Cost: O(N*/c * (M + c)^3).
+
+        ``mesh``: with ``chunk_size``, shard the chunk axis over the mesh's
+        last axis (embarrassingly parallel serving, zero collectives) —
+        same draws as the single-device chunked path at the same block count
+        (ulp-level compile-vs-eager numerics only).
         """
         key = as_key(key)
         key_pred, key_obs = jax.random.split(key)
@@ -169,6 +209,11 @@ class PLS:
         else:
             n, c = x.shape[0], chunk_size
             n_blocks = -(-n // c)
+            if mesh is not None:
+                # pad the BLOCK count to a multiple of the serve-axis size so
+                # every device gets equal work (padded blocks are dropped)
+                serve = mesh.shape[mesh.axis_names[-1]]
+                n_blocks = -(-n_blocks // serve) * serve
             pad = n_blocks * c - n
             if pad:
                 # pad with the last test point: duplicates only make the
@@ -196,7 +241,12 @@ class PLS:
                     )
                 )
             )
-            untransformed = _chunked_untransformed_samples(
+            chunk_fn = (
+                _chunked_untransformed_samples
+                if mesh is None
+                else functools.partial(_sharded_chunked_untransformed_samples, mesh)
+            )
+            untransformed = chunk_fn(
                 basis_aug,
                 particles,
                 x_padded.reshape(n_blocks, c, x.shape[1]),

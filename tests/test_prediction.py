@@ -206,3 +206,42 @@ def test_chunked_prediction_ipb_matches_marginals(trained):
     scale = np.abs(mean_full).max() + 1.0
     np.testing.assert_allclose(mean_chunk, mean_full, atol=0.1 * scale)
     np.testing.assert_allclose(var_chunk, var_full, rtol=0.35, atol=0.02)
+
+
+def test_sharded_chunked_serving_matches_single_device(trained):
+    """The mesh-sharded chunked serving path (predict_samples(mesh=...))
+    reproduces the single-device chunked path at the same block count up to
+    compile-vs-eager float reassociation (the chunk axis is embarrassingly
+    parallel and the per-chunk PRNG keys are the same split — same draws,
+    ulp-level numerics). Block padding differs only when the serve axis does
+    not divide the block count — so use a chunk size whose block count is
+    already a multiple of the mesh size."""
+    from projected_langevin_sampling_tpu.parallel import make_mesh
+
+    pls, particles, x, y, z, a, rhs = trained
+    x_test = jnp.asarray(np.linspace(-1.5, 1.5, 24)[:, None])
+    mesh = make_mesh(1, 4, devices=jax.devices()[:4])
+    # chunk_size 6 -> 4 blocks == serve axis size: identical padding
+    single = np.asarray(
+        pls.predict_samples(
+            particles=particles, x=x_test, key=jax.random.key(7), chunk_size=6
+        )
+    )
+    sharded = np.asarray(
+        pls.predict_samples(
+            particles=particles, x=x_test, key=jax.random.key(7), chunk_size=6,
+            mesh=mesh,
+        )
+    )
+    np.testing.assert_allclose(sharded, single, rtol=1e-7, atol=1e-8)
+
+    # non-dividing case: 24 points / chunk 7 -> 4 blocks -> padded to 4 (ok),
+    # but with 3 devices it pads 4 -> 6 blocks; marginal law must still hold
+    mesh3 = make_mesh(1, 2, devices=jax.devices()[:2])
+    out = np.asarray(
+        pls.predict_samples(
+            particles=particles, x=x_test, key=jax.random.key(8), chunk_size=7,
+            mesh=mesh3,
+        )
+    )
+    assert out.shape == single.shape and np.all(np.isfinite(out))
