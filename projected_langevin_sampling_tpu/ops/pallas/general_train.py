@@ -31,8 +31,9 @@ MXU (4 N M_k J flops/step) plus the Box-Muller VPU work.
 
 Supported costs (closed forms identical to the library's):
 gaussian-identity, bernoulli-sigmoid (plain and residual-smoothed),
-bernoulli-probit, poisson-square, student_t-identity.
-Autograd-only costs (MultiModal) stay on the XLA path.
+bernoulli-probit, poisson-square, student_t-identity, and the bimodal
+mixture (multimodal-identity, via the responsibility-weighted closed-form
+gradient — the reference trains it autograd-only, ``multimodal.py:79-91``).
 """
 
 from __future__ import annotations
@@ -58,6 +59,7 @@ COST_KINDS = (
     "bernoulli_probit",
     "poisson_square",
     "student_t",
+    "multimodal_identity",
 )
 _SIGMOID_JITTER = 1e-10
 # 16-node Gauss-Hermite rule baked in as compile-time constants — matches the
@@ -66,15 +68,17 @@ _SIGMOID_JITTER = 1e-10
 _GH16_NODES, _GH16_WEIGHTS = np.polynomial.hermite.hermgauss(16)
 
 
-def _tile_cost_and_dc(kind: str, f, y, valid, p0, p1, aux):
+def _tile_cost_and_dc(kind: str, f, y, valid, p0, p1, p2, aux):
     """Per-tile cost (N_t, J) and derivative (N_t, J) for the closed-form
     cost families; ``valid`` masks padded rows (zero contribution).
 
-    p0/p1 are the cost's scalar parameters:
+    p0/p1/p2 are the cost's scalar parameters:
       gaussian:    p0 = observation noise (variance-in-NLL quirk preserved)
       bernoulli:   unused
       poisson:     unused
       student_t:   p0 = degrees of freedom, p1 = scale
+      multimodal_identity: p0 = observation noise (std), p1 = mode shift,
+                   p2 = bernoulli mixture weight w
     ``aux`` is the per-row auxiliary column (N_t, 1):
       bernoulli_sigmoid_smoothed: the residual smoothing std s_i
       (zeros for every other kind)
@@ -131,6 +135,25 @@ def _tile_cost_and_dc(kind: str, f, y, valid, p0, p1, aux):
         denom = p0 * (p1 * p1)
         cost = 0.5 * (p0 + 1.0) * jnp.log1p(jnp.square(err) / denom)
         dc = (p0 + 1.0) * err / (denom + jnp.square(err))
+    elif kind == "multimodal_identity":
+        # bimodal Gaussian mixture, identity link (models/costs/multimodal.py):
+        # cost = -logsumexp([log w + ll(err + shift), log(1-w) + ll(err)])
+        #      = 0.5 err^2/s^2 + log sqrt(2 pi s^2) - log(1-w) - softplus(b + D)
+        # with err = y - f, D = ll1 - ll2 = -(shift*err + shift^2/2)/s^2,
+        # b = logit(w); dc/df = -(err + r1*shift)/s^2, r1 = sigmoid(b + D)
+        # (the responsibility-weighted two-mode pull).
+        sigma2 = p0 * p0
+        err = y - f
+        b = jnp.log(p2) - jnp.log1p(-p2)
+        delta = -(p1 * err + 0.5 * p1 * p1) / sigma2
+        log_norm = 0.5 * jnp.log(2.0 * jnp.pi * sigma2)
+        cost = (
+            0.5 * jnp.square(err) / sigma2
+            + log_norm
+            - jnp.log1p(-p2)
+            - jax.nn.softplus(b + delta)
+        )
+        dc = -(err + jax.nn.sigmoid(b + delta) * p1) / sigma2
     else:  # pragma: no cover — guarded by COST_KINDS at the wrapper
         raise ValueError(kind)
     zero = jnp.zeros((), dtype=f.dtype)
@@ -146,7 +169,7 @@ def _general_train_kernel(
     dec_ref,  # (M_k, 1) f32 split-scheme decay (unused for Euler)
     ds_ref,  # (M_k, 1) f32 split-scheme data-drift row scale (unused for Euler)
     nscale_ref,  # (M_k, 1) f32 split-scheme noise row std (unused for Euler)
-    scalar_ref,  # (1, 8) SMEM: [seed, eta, patience, p0, p1, n_valid, J, f_shift]
+    scalar_ref,  # (1, 9) SMEM: [seed, eta, patience, p0, p1, n_valid, J, f_shift, p2]
     u_out_ref,  # (M_k, J) f32 final particles
     energy_ref,  # (T, 1) f32 energy trace (NaN once stopped)
     g_ref,  # (M_k, J) f32 scratch: drift accumulator
@@ -165,6 +188,7 @@ def _general_train_kernel(
     n_valid = scalar_ref[0, 5].astype(jnp.int32)
     j_count = scalar_ref[0, 6]
     f_shift = scalar_ref[0, 7]  # prior mean constant m0: F = m0 + P @ U
+    p2 = scalar_ref[0, 8]
     root2eta = jnp.sqrt(2.0 * eta)
     n_pad, m_k = p_ref.shape
     j = u_in_ref.shape[1]
@@ -188,7 +212,9 @@ def _general_train_kernel(
             aux_t = aux_ref[pl.ds(row0, tile_n), :]
             rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (tile_n, 1), 0)
             valid = rows < n_valid
-            cost_t, dc = _tile_cost_and_dc(cost_kind, f, y_t, valid, p0, p1, aux_t)
+            cost_t, dc = _tile_cost_and_dc(
+                cost_kind, f, y_t, valid, p0, p1, p2, aux_t
+            )
             if with_g:
                 g_ref[:] += jax.lax.dot_general(
                     p_t,
@@ -290,6 +316,7 @@ def general_train_fused(
     num_steps: int,
     cost_param0=0.0,
     cost_param1=0.0,
+    cost_param2=0.0,
     mean_shift=0.0,
     aux: Array | None = None,  # (N,) per-row cost auxiliary (smoothing std)
     interpret: bool = False,
@@ -332,6 +359,7 @@ def general_train_fused(
             jnp.asarray(n, dtype=jnp.float32),
             jnp.asarray(j, dtype=jnp.float32),
             jnp.asarray(mean_shift, dtype=jnp.float32),
+            jnp.asarray(cost_param2, dtype=jnp.float32),
         ]
     )[None, :]
     lam32 = eigenvalues.astype(jnp.float32)

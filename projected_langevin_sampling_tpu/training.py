@@ -143,16 +143,18 @@ def _precond_spectral_coeffs(step_size, sigma, b_rot):
 
 
 def general_fused_cost_spec(basis, cost):
-    """(cost_kind, param0, param1, aux) for the fused whole-run general kernel
-    (``ops/pallas/general_train.py``), or None when the (basis, cost, link)
-    combination is outside its closed-form families. ``aux`` is the per-row
-    auxiliary column (the residual smoothing std) or None."""
+    """(cost_kind, param0, param1, param2, aux) for the fused whole-run
+    general kernel (``ops/pallas/general_train.py``), or None when the
+    (basis, cost, link) combination is outside its closed-form families.
+    ``aux`` is the per-row auxiliary column (the residual smoothing std) or
+    None."""
     from projected_langevin_sampling_tpu.models.basis.orthonormal import (
         OrthonormalBasis,
     )
     from projected_langevin_sampling_tpu.models.costs import (
         BernoulliCost,
         GaussianCost,
+        MultiModalCost,
         PoissonCost,
         SmoothedBernoulliCost,
         StudentTCost,
@@ -168,13 +170,13 @@ def general_fused_cost_spec(basis, cost):
         return None
     link = cost.link_function
     if isinstance(cost, GaussianCost) and isinstance(link, IdentityLinkFunction):
-        return ("gaussian", cost.observation_noise, 0.0, None)
+        return ("gaussian", cost.observation_noise, 0.0, 0.0, None)
     if (
         isinstance(cost, BernoulliCost)
         and isinstance(link, SigmoidLinkFunction)
         and link.jitter == 1e-10  # the kernel hard-codes the library default
     ):
-        return ("bernoulli_sigmoid", 0.0, 0.0, None)
+        return ("bernoulli_sigmoid", 0.0, 0.0, 0.0, None)
     if (
         isinstance(cost, SmoothedBernoulliCost)
         and isinstance(link, SigmoidLinkFunction)
@@ -185,17 +187,27 @@ def general_fused_cost_spec(basis, cost):
         and cost.gh_nodes.shape[0] == 16
         and _is_gh16_rule(cost)
     ):
-        return ("bernoulli_sigmoid_smoothed", 0.0, 0.0, cost.smoothing_std)
+        return ("bernoulli_sigmoid_smoothed", 0.0, 0.0, 0.0, cost.smoothing_std)
     if (
         isinstance(cost, BernoulliCost)
         and isinstance(link, ProbitLinkFunction)
         and link.jitter == 1e-10
     ):
-        return ("bernoulli_probit", 0.0, 0.0, None)
+        return ("bernoulli_probit", 0.0, 0.0, 0.0, None)
     if isinstance(cost, PoissonCost) and isinstance(link, SquareLinkFunction):
-        return ("poisson_square", 0.0, 0.0, None)
+        return ("poisson_square", 0.0, 0.0, 0.0, None)
     if isinstance(cost, StudentTCost) and isinstance(link, IdentityLinkFunction):
-        return ("student_t", cost.degrees_of_freedom, cost.scale, None)
+        return ("student_t", cost.degrees_of_freedom, cost.scale, 0.0, None)
+    if isinstance(cost, MultiModalCost) and isinstance(link, IdentityLinkFunction):
+        # closed-form responsibility-weighted gradient (the reference trains
+        # this cost autograd-only, multimodal.py:79-91 — same math)
+        return (
+            "multimodal_identity",
+            cost.observation_noise,
+            cost.shift,
+            cost.bernoulli_noise,
+            None,
+        )
     return None
 
 
@@ -763,7 +775,7 @@ def _train_pls_scan(
             general_train_fused,
         )
 
-        kind, p0, p1, aux = general_fused_cost_spec(basis, cost)
+        kind, p0, p1, p2, aux = general_fused_cost_spec(basis, cost)
         seed = jax.random.randint(key, (), 0, 2**31 - 1)
         u_final, energies = general_train_fused(
             basis.train_projection,
@@ -777,6 +789,7 @@ def _train_pls_scan(
             num_steps=number_of_epochs,
             cost_param0=p0,
             cost_param1=p1,
+            cost_param2=p2,
             mean_shift=basis.mean_constant,
             aux=aux,
             discretisation=discretisation,
@@ -1270,7 +1283,7 @@ def langevin_steps(
             general_train_fused,
         )
 
-        kind, p0, p1, aux = general_fused_cost_spec(basis, cost)
+        kind, p0, p1, p2, aux = general_fused_cost_spec(basis, cost)
         seed = jax.random.randint(key, (), 0, 2**31 - 1)
         u_final, _ = general_train_fused(
             basis.train_projection,
@@ -1284,6 +1297,7 @@ def langevin_steps(
             num_steps=n_steps,
             cost_param0=p0,
             cost_param1=p1,
+            cost_param2=p2,
             mean_shift=basis.mean_constant,
             aux=aux,
             discretisation=discretisation,

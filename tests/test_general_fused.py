@@ -53,11 +53,11 @@ def _setup(kind):
     if kind == "gaussian":
         y = jnp.asarray(f_true + 0.1 * rng.normal(size=N), dtype=jnp.float32)
         cost = GaussianCost(y_train=y, observation_noise=jnp.asarray(0.1, jnp.float32))
-        params = (0.1, 0.0)
+        params = (0.1, 0.0, 0.0)
     elif kind == "bernoulli_sigmoid":
         y = jnp.asarray((f_true > 0).astype(np.float32))
         cost = BernoulliCost(y_train=y)
-        params = (0.0, 0.0)
+        params = (0.0, 0.0, 0.0)
     elif kind == "bernoulli_sigmoid_smoothed":
         from projected_langevin_sampling_tpu.models.costs import (
             make_smoothed_bernoulli_cost,
@@ -70,7 +70,7 @@ def _setup(kind):
                 rng.uniform(0.1, 1.0, N).astype(np.float32)
             ),
         )
-        params = (0.0, 0.0)
+        params = (0.0, 0.0, 0.0)
     elif kind == "bernoulli_probit":
         from projected_langevin_sampling_tpu.models.link_functions import (
             ProbitLinkFunction,
@@ -78,19 +78,33 @@ def _setup(kind):
 
         y = jnp.asarray((f_true > 0).astype(np.float32))
         cost = BernoulliCost(y_train=y, link_function=ProbitLinkFunction())
-        params = (0.0, 0.0)
+        params = (0.0, 0.0, 0.0)
     elif kind == "poisson_square":
         y = jnp.asarray(rng.poisson(np.exp(f_true)).astype(np.float32))
         cost = PoissonCost(y_train=y, link_function=SquareLinkFunction())
-        params = (0.0, 0.0)
-    else:  # student_t
+        params = (0.0, 0.0, 0.0)
+    elif kind == "student_t":
         y = jnp.asarray(f_true + 0.1 * rng.standard_t(4.0, size=N), dtype=jnp.float32)
         cost = StudentTCost(
             y_train=y,
             degrees_of_freedom=jnp.asarray(4.0, jnp.float32),
             scale=jnp.asarray(0.3, jnp.float32),
         )
-        params = (4.0, 0.3)
+        params = (4.0, 0.3, 0.0)
+    else:  # multimodal_identity
+        from projected_langevin_sampling_tpu.models.costs import MultiModalCost
+
+        shift, w = 2.0, 0.4
+        y = jnp.asarray(
+            f_true - shift * (rng.uniform(size=N) < w), dtype=jnp.float32
+        )
+        cost = MultiModalCost(
+            y_train=y,
+            observation_noise=jnp.asarray(0.3, jnp.float32),
+            shift=shift,
+            bernoulli_noise=w,
+        )
+        params = (0.3, shift, w)
     return basis, cost, params
 
 
@@ -135,10 +149,14 @@ def _numpy_replay(basis, cost, u0, steps, eta):
         "bernoulli_probit",
         "poisson_square",
         "student_t",
+        "multimodal_identity",
     ],
 )
 def test_deterministic_drift_and_energy_trace(kind):
-    basis, cost, (p0, p1) = _setup(kind)
+    # multimodal validates the kernel's closed-form responsibility-weighted
+    # gradient directly against the library's autograd (the replay calls
+    # cost.calculate_cost_derivative, which is autograd for this cost)
+    basis, cost, (p0, p1, p2) = _setup(kind)
     aux = getattr(cost, "smoothing_std", None)
     u0 = basis.initialise_particles(J, key=0).astype(jnp.float32)
     with pltpu.force_tpu_interpret_mode():
@@ -154,6 +172,7 @@ def test_deterministic_drift_and_energy_trace(kind):
             num_steps=STEPS,
             cost_param0=p0,
             cost_param1=p1,
+            cost_param2=p2,
             aux=aux,
             zero_noise=True,
         )
@@ -163,7 +182,7 @@ def test_deterministic_drift_and_energy_trace(kind):
 
 
 def test_early_stop_freezes_and_nan_fills():
-    basis, cost, (p0, p1) = _setup("gaussian")
+    basis, cost, (p0, p1, _p2) = _setup("gaussian")
     u0 = basis.initialise_particles(J, key=0).astype(jnp.float32)
     # enormous step -> divergence -> non-finite energy -> in-kernel stop
     with pltpu.force_tpu_interpret_mode():
@@ -207,13 +226,22 @@ def test_training_tier_integration():
         resolve_fast_path(smoothed_basis, smoothed_cost, "general_fused")
         == "general_fused"
     )
+    # round 4: the identity-link mixture fuses too (closed-form
+    # responsibility-weighted gradient in-kernel)
     mm = MultiModalCost(
         y_train=cost.y_train,
         observation_noise=jnp.asarray(0.1, jnp.float32),
         shift=1.0,
         bernoulli_noise=0.5,
     )
-    assert resolve_fast_path(basis, mm, "general_fused") == "off"
+    assert resolve_fast_path(basis, mm, "general_fused") == "general_fused"
+    # ... but only with the identity link — any other link stays on XLA
+    from projected_langevin_sampling_tpu.models.link_functions import (
+        SigmoidLinkFunction,
+    )
+
+    mm_sigmoid = mm.replace(link_function=SigmoidLinkFunction())
+    assert resolve_fast_path(basis, mm_sigmoid, "general_fused") == "off"
 
     u0 = basis.initialise_particles(J, key=0).astype(jnp.float32)
     with pltpu.force_tpu_interpret_mode():
