@@ -83,6 +83,20 @@ def build(dtype_name="float32", cost_name="gaussian", basis_kind="onb"):
             y_train=y,
             smoothing_std=jnp.asarray(rng.uniform(0.3, 1.2, N), dtype=dtype),
         )
+    elif cost_name == "multimodal":
+        from projected_langevin_sampling_tpu.models.costs import MultiModalCost
+
+        shift, w = 2.0, 0.4
+        y = jnp.asarray(
+            f_true - shift * (rng.uniform(size=N) < w) + 0.2 * rng.normal(size=N),
+            dtype=dtype,
+        )
+        cost = MultiModalCost(
+            y_train=y,
+            observation_noise=jnp.asarray(0.3, dtype=dtype),
+            shift=shift,
+            bernoulli_noise=w,
+        )
     else:
         y = jnp.asarray(
             (f_true + 0.2 * rng.normal(size=N) > 0).astype(np.float32), dtype=dtype
@@ -191,6 +205,10 @@ def run_table(cpu_fallback: bool = False):
         cells.append(
             ("bernoulli_smoothed", "onb", "general_fused", 2000, "preconditioned")
         )
+        # round-4: the bimodal mixture's closed-form fused tier (the one cost
+        # the reference can only train via autograd) + its XLA baseline
+        cells.append(("multimodal", "onb", "off", 2000))
+        cells.append(("multimodal", "onb", "general_fused", 2000))
 
     rows = []
     for cell in cells:
