@@ -69,6 +69,20 @@ def _setup(kind):
                 rng.uniform(0.1, 1.0, N).astype(np.float32)
             ),
         )
+    elif kind == "multimodal":
+        from projected_langevin_sampling_tpu.models.costs import MultiModalCost
+
+        shift, w = 2.0, 0.4
+        y = jnp.asarray(
+            f_true - shift * (rng.uniform(size=N) < w) + 0.1 * rng.normal(size=N),
+            dtype=jnp.float32,
+        )
+        cost = MultiModalCost(
+            y_train=y,
+            observation_noise=jnp.asarray(0.3, jnp.float32),
+            shift=shift,
+            bernoulli_noise=w,
+        )
     else:  # bernoulli_sigmoid
         y = jnp.asarray((f_true > 0).astype(np.float32))
         cost = BernoulliCost(y_train=y)
@@ -160,6 +174,22 @@ def test_general_fused_law_bernoulli_smoothed_preconditioned():
         discretisation="preconditioned",
     )
     _assert_law_matches(u_xla, u_fused, "general_fused/smoothed/preconditioned")
+
+
+def test_general_fused_law_multimodal_preconditioned():
+    """The round-4 fused mixture cost (closed-form responsibility-weighted
+    gradient) vs the XLA autograd path on hardware noise."""
+    basis, cost = _setup("multimodal")
+    u0 = basis.initialise_particles(J, key=0).astype(jnp.float32)
+    eta, steps = 5e-3, 2000  # unconditionally prior-stable
+    u_xla = _run(
+        basis, cost, u0, eta, steps, "off", key=7, discretisation="preconditioned"
+    )
+    u_fused = _run(
+        basis, cost, u0, eta, steps, "general_fused", key=3,
+        discretisation="preconditioned",
+    )
+    _assert_law_matches(u_xla, u_fused, "general_fused/multimodal/preconditioned")
 
 
 def test_spectral_fused_law_gaussian():
