@@ -81,3 +81,46 @@ def test_sklearn_bundled_real_data(tmp_path):
     assert len(iris) == 100  # versicolor + virginica only
     assert sorted(iris["target"].unique()) == [0, 1]
     assert iris["target"].sum() == 50  # balanced pair
+
+
+def test_pin_and_verify_roundtrip(tmp_path, monkeypatch, capsys):
+    """--pin hashes every CSV into checksums.json; --verify passes on intact
+    files, fails (exit 1) on a mutated one; the synthetic generator is
+    process-deterministic (sha256-digest seeds, NOT Python hash())."""
+    import subprocess
+    import sys
+
+    from experiments.uci import fetch_datasets as fd
+
+    (tmp_path / "a.csv").write_text("x,y\n1,2\n")
+    (tmp_path / "b.csv").write_text("x,y\n3,4\n")
+
+    monkeypatch.setattr(
+        sys, "argv", ["fetch_datasets.py", "--out", str(tmp_path), "--pin"]
+    )
+    assert fd.main() == 0
+    monkeypatch.setattr(
+        sys, "argv", ["fetch_datasets.py", "--out", str(tmp_path), "--verify"]
+    )
+    assert fd.main() == 0
+    (tmp_path / "b.csv").write_text("x,y\n3,5\n")  # mutate
+    assert fd.main() == 1
+    (tmp_path / "b.csv").unlink()  # missing
+    assert fd.main() == 1
+
+
+def test_synthetic_generator_is_process_deterministic(tmp_path):
+    """Two generations must be byte-identical — the round-3 generator seeded
+    via hash(name) (randomised per process) and silently produced different
+    data on every regeneration."""
+    import hashlib
+
+    from experiments.uci.make_synthetic_datasets import main as synth_main
+
+    out1, out2 = tmp_path / "g1", tmp_path / "g2"
+    synth_main(rows=50, out_dir=str(out1))
+    synth_main(rows=50, out_dir=str(out2))
+    for f in sorted(out1.iterdir()):
+        h1 = hashlib.sha256(f.read_bytes()).hexdigest()
+        h2 = hashlib.sha256((out2 / f.name).read_bytes()).hexdigest()
+        assert h1 == h2, f.name
