@@ -532,3 +532,32 @@ def test_section_snapshot_partial_render_keeps_committed_record(
     assert mrs._snapshot("curves3", "") == full        # snapshot intact
     assert mrs._snapshot("curves3", fuller) == fuller  # fuller refreshes
     assert mrs._snapshot("curves3", "") == fuller
+
+
+def test_loss_attribution_section_structure():
+    """The round-4 loss-attribution section (VERDICT #4) is data-driven: it
+    tabulates one row per significant headline NLL loss and emits exactly one
+    verdict bullet per row, computed from the committed consolidated CSV on a
+    clean clone (no outputs trees needed). Guards the attribution evidence
+    against silent regressions in the collect()/paired-delta plumbing."""
+    from experiments import make_results_summary as mrs
+
+    section = mrs.loss_attribution_section()
+    if not section:  # no significant losses — nothing to attribute
+        return
+    assert "## Loss attribution" in section
+    table_rows = [
+        line
+        for line in section.splitlines()
+        if line.startswith("| ") and "dataset" not in line and "---" not in line
+    ]
+    verdicts = [line for line in section.splitlines() if line.startswith("- `")]
+    assert len(table_rows) >= 1
+    assert len(verdicts) == len(table_rows)
+    # every verdict is one of the three recognised shapes
+    for v in verdicts:
+        assert (
+            "disappears under" in v
+            or "survives every measured toggle" in v
+            or "attribution pending" in v
+        )
