@@ -257,11 +257,25 @@ def train_pls_runner(
     fast_path: str = "auto",
     discretisation: str = "euler",
     parallel: dict | None = None,
+    equilibrate_spread: float | None = None,
 ) -> tuple[Array, float | None, int]:
     """Log-spaced step-size search (reference ``runners.py:331-446``): each
     candidate runs for simulation_duration/step_size epochs from the SAME
     initial particles; the best by the train-split metric wins; break early
-    when the final energy stops moving between consecutive candidates."""
+    when the final energy stops moving between consecutive candidates.
+
+    ``equilibrate_spread`` (framework extension, default off = reference
+    semantics): the reference's search stops on an ENERGY plateau, but the
+    energy is mean-dominated — at the break point the particle SPREAD can
+    still be contracting, leaving the predictive over-dispersed (the
+    measured cause of the headline classification NLL losses,
+    ``results/gap_attribution.md``). With a float threshold (e.g. 0.01),
+    the WINNING chain continues in chunks of its own length at its selected
+    step size until the mean per-coordinate particle variance changes by
+    less than that relative factor between chunks (capped at
+    ``maximum_number_of_steps`` total extra epochs, 16 chunks). Much
+    cheaper than lengthening ``simulation_duration`` for every candidate;
+    the selected step size and the search itself are untouched."""
     if metric_to_optimise in ["nll", "mse", "mae", "loss"]:
         best_metric_value = float("inf")
     elif metric_to_optimise in ["acc", "auc", "f1"]:
@@ -382,7 +396,88 @@ def train_pls_runner(
     best_epochs = (
         len(energy_potentials_history[best_lr]) if best_lr is not None else 0
     )
+    if equilibrate_spread is not None and best_lr is not None and best_epochs > 0:
+        particles_out, best_epochs = _equilibrate_spread_phase(
+            pls=pls,
+            particles=particles_out,
+            step_size=best_lr,
+            chunk_epochs=best_epochs,
+            threshold=float(equilibrate_spread),
+            max_total_epochs=int(maximum_number_of_steps),
+            early_stopper_patience=early_stopper_patience,
+            seed=seed,
+            fast_path=fast_path,
+            discretisation=discretisation,
+            parallel=parallel,
+            particle_name=particle_name,
+        )
     return particles_out, best_lr, best_epochs
+
+
+def _equilibrate_spread_phase(
+    pls,
+    particles: Array,
+    step_size: float,
+    chunk_epochs: int,
+    threshold: float,
+    max_total_epochs: int,
+    early_stopper_patience: float,
+    seed: int,
+    fast_path: str,
+    discretisation: str,
+    parallel: dict | None,
+    particle_name: str,
+    max_chunks: int = 16,
+) -> tuple[Array, int]:
+    """Continue the winning chain until the particle spread plateaus (see
+    ``train_pls_runner``'s ``equilibrate_spread``). Each chunk keeps the
+    candidate discipline of the search: non-finite particles or an energy
+    above the chunk's starting energy discard the chunk and stop."""
+
+    def spread(p: Array) -> float:
+        return float(jnp.mean(jnp.var(p, axis=1)))
+
+    total = chunk_epochs
+    s_prev = spread(particles)
+    e_prev = float(pls.calculate_energy_potential(particles))
+    for chunk in range(max_chunks):
+        if total + chunk_epochs > max_total_epochs:
+            break
+        p_new, energies = train_pls(
+            pls=pls,
+            particles=particles,
+            number_of_epochs=chunk_epochs,
+            step_size=float(step_size),
+            early_stopper_patience=early_stopper_patience,
+            seed=seed + 7919 * (chunk + 1),  # deterministic, distinct per chunk
+            fast_path=fast_path,
+            discretisation=discretisation,
+            parallel=parallel,
+        )
+        if not (
+            energies
+            and bool(jnp.isfinite(p_new).all())
+            and energies[-1] <= e_prev + 1e-3 * abs(e_prev) + 1e-9
+        ):
+            print(
+                f"  [equilibrate {particle_name}] chunk {chunk}: discarded "
+                f"(non-finite or energy rose) — stopping",
+                flush=True,
+            )
+            break
+        s_new = spread(p_new)
+        rel = abs(s_new - s_prev) / max(abs(s_prev), 1e-30)
+        total += len(energies)
+        particles, s_prev, e_prev = p_new, s_new, energies[-1]
+        print(
+            f"  [equilibrate {particle_name}] chunk {chunk}: +{len(energies)} "
+            f"epochs (total {total}), spread={s_new:.5g} (rel change {rel:.3g}), "
+            f"E={e_prev:.6g}",
+            flush=True,
+        )
+        if rel < threshold:
+            break
+    return particles, total
 
 
 def train_svgp_runner(

@@ -277,6 +277,7 @@ def main(
                 fast_path=pls_config.get("fast_path", "auto"),
                 discretisation=pls_config.get("discretisation", "euler"),
                 parallel=pls_config.get("parallel"),
+                equilibrate_spread=pls_config.get("equilibrate_spread"),
             )
             if len(m0_candidates) == 1:
                 best = (float("nan"), m0, particles_c, best_lr, number_of_epochs)

@@ -331,6 +331,7 @@ def main(
                 fast_path=pls_config.get("fast_path", "auto"),
                 discretisation=pls_config.get("discretisation", "euler"),
                 parallel=pls_config.get("parallel"),
+                equilibrate_spread=pls_config.get("equilibrate_spread"),
             )
             save_pls(
                 pls_path,

@@ -572,3 +572,79 @@ def test_loss_attribution_section_structure():
     if os.path.exists(os.path.join(mrs.ROOT, "results", "gap_attribution.csv")):
         assert "### Mechanism" in section
         assert "prior residual" in section
+
+
+def test_equilibrate_spread_extends_winning_chain():
+    """The spread-equilibration phase (framework extension motivated by
+    results/gap_attribution.md: the reference's energy-plateau break stops
+    before the particle spread equilibrates) continues the WINNING chain in
+    chunks at its selected step size until the mean per-coordinate particle
+    variance plateaus. Contract: reference semantics when the option is None
+    (same particles, same epochs); with a threshold, epochs grow, the
+    selected step size is unchanged, particles stay finite, and the spread
+    moves toward the basis's stationary value."""
+    from experiments.runners import train_pls_runner
+    from projected_langevin_sampling_tpu.models.basis import build_orthonormal_basis
+    from projected_langevin_sampling_tpu.models.costs import GaussianCost
+    from projected_langevin_sampling_tpu.models.pls import PLS
+    from projected_langevin_sampling_tpu.ops.kernels import ARDKernel, PLSKernel
+
+    rng = np.random.default_rng(3)
+    n = 40
+    x = jnp.asarray(np.sort(rng.uniform(-2, 2, (n, 1)), axis=0))
+    y = jnp.asarray(np.sin(2 * np.asarray(x)[:, 0]) + 0.1 * rng.normal(size=n))
+    kernel = PLSKernel(
+        base_kernel=ARDKernel(jnp.asarray([0.5]), jnp.asarray(1.0)),
+        approximation_samples=x,
+    )
+    basis = build_orthonormal_basis(
+        kernel, x[::5], x, eigenvalue_threshold=1e-3, verbose=False
+    )
+    cost = GaussianCost(y_train=y, observation_noise=jnp.asarray(0.1))
+    pls = PLS(basis=basis, cost=cost)
+    ed = ExperimentData(
+        name="t", problem_type=ProblemType.REGRESSION,
+        full=Data(x=x, y=y, name="full"),
+        train=Data(x=x, y=y, name="train"),
+        test=Data(x=x, y=y, name="test"),
+    )
+    particles = pls.initialise_particles(16, key=0)
+    common = dict(
+        pls=pls,
+        particles=particles,
+        particle_name="t",
+        experiment_data=ed,
+        # a deliberately SHORT simulation: the winning chain is far from
+        # spread equilibrium at the break point (the scenario being fixed);
+        # the preconditioned scheme (the headline protocol's) makes the
+        # prior-direction relaxation fast enough to observe the plateau
+        simulation_duration=2e-2,
+        maximum_number_of_steps=100_000,
+        early_stopper_patience=float("inf"),
+        number_of_step_searches=1,
+        step_size_upper=1e-4,
+        minimum_change_in_energy_potential=1e-30,
+        seed=0,
+        metric_to_optimise="loss",
+        discretisation="preconditioned",
+    )
+    out_ref, lr_ref, epochs_ref = train_pls_runner(**common)
+    out_ref2, lr_ref2, epochs_ref2 = train_pls_runner(
+        **common, equilibrate_spread=None
+    )
+    np.testing.assert_array_equal(np.asarray(out_ref), np.asarray(out_ref2))
+    assert (lr_ref, epochs_ref) == (lr_ref2, epochs_ref2)
+
+    out_eq, lr_eq, epochs_eq = train_pls_runner(
+        **common, equilibrate_spread=0.01
+    )
+    assert lr_eq == lr_ref  # the phase never changes the selected step size
+    assert epochs_eq > epochs_ref  # ... but runs the winning chain longer
+    assert np.all(np.isfinite(np.asarray(out_eq)))
+    # the short-run spread is un-equilibrated (noise-only init starts at the
+    # PRIOR scale, so equilibration contracts it toward the posterior's);
+    # the phase must move it materially and keep it positive and bounded
+    spread_ref = float(jnp.mean(jnp.var(out_ref, axis=1)))
+    spread_eq = float(jnp.mean(jnp.var(out_eq, axis=1)))
+    assert abs(spread_eq - spread_ref) / spread_ref > 0.05
+    assert 0.0 < spread_eq < 10 * float(jnp.max(basis.eigenvalues))
