@@ -158,6 +158,7 @@ def train_or_load_pls(
             observation_noise=pls.observation_noise,
             best_lr=best_lr,
             number_of_epochs=number_of_epochs,
+            basis=pls.basis,
         )
     plot_pls_1d_particles_runner(
         pls=pls,

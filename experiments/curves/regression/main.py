@@ -256,6 +256,7 @@ def main(
             observation_noise=pls.observation_noise,
             best_lr=best_lr,
             number_of_epochs=number_of_epochs,
+            basis=pls.basis,
         )
     pls_conformalised = ConformalisePLS(
         x_calibration=experiment_data.validation.x,

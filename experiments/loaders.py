@@ -30,11 +30,26 @@ def save_pls(
     best_lr: float | None,
     number_of_epochs: int,
     mean_constant: float | None = None,
+    basis=None,
 ) -> None:
     """PLS checkpoint = {particles, observation_noise, best_lr, epochs}
     (reference ``curves/regression/main.py:259-267``). ``mean_constant``
     records the prior mean the particles were trained under (None = caller
-    manages it; needed so ``mean_constant: select`` runs reload correctly)."""
+    manages it; needed so ``mean_constant: select`` runs reload correctly).
+
+    ``basis``: pass the trained model's basis to make the checkpoint
+    self-contained. Particles are COORDINATES in the basis; the basis itself
+    is the output of an eigh (ONB) whose eigenvector signs/order are not
+    reproducible across backends or gram dtypes for near-degenerate spectra
+    (measured: a breast_wdbc ONB checkpoint trained on TPU at train NLL 0.106
+    evaluates to 2.51 when the basis is rebuilt on CPU —
+    results/checkpoint_basis_audit.md). The predictive-noise distribution
+    object is stripped (caller-owned, re-grafted on load)."""
+    basis_tree = None
+    if basis is not None:
+        basis_tree = _to_np(
+            basis.replace(additional_predictive_noise_distribution=None)
+        )
     with open(path, "wb") as f:
         pickle.dump(
             {
@@ -45,6 +60,7 @@ def save_pls(
                 "best_lr": best_lr,
                 "number_of_epochs": number_of_epochs,
                 "mean_constant": mean_constant,
+                "basis": basis_tree,
             },
             f,
         )
@@ -53,14 +69,36 @@ def save_pls(
 def load_pls(path: str, pls=None) -> tuple[Array, float | None, float | None, int]:
     """Returns (particles, observation_noise, best_lr, number_of_epochs);
     sets ``pls.observation_noise`` when a model is passed
-    (reference ``loaders.py:10-28``)."""
+    (reference ``loaders.py:10-28``).
+
+    When the checkpoint carries its basis (``save_pls(..., basis=...)``) and a
+    model is passed, the saved basis REPLACES the caller-built one — the
+    particles then reproduce their train-time predictions bitwise on any
+    backend/precision. Old-format checkpoints fall back to the caller's
+    rebuilt basis with a warning: the ONB eigh rebuild is only valid on the
+    backend+dtype that trained the checkpoint."""
     with open(path, "rb") as f:
         payload = pickle.load(f)
     print(f"Loaded PLS particles from {path=}")
     if pls is not None and payload["observation_noise"] is not None:
         pls.observation_noise = payload["observation_noise"]
-    if pls is not None and payload.get("mean_constant") is not None:
-        pls.basis = pls.basis.replace(mean_constant=payload["mean_constant"])
+    if pls is not None and payload.get("basis") is not None:
+        restored = jax.tree.map(jnp.asarray, payload["basis"])
+        pls.basis = restored.replace(
+            additional_predictive_noise_distribution=(
+                pls.basis.additional_predictive_noise_distribution
+            )
+        )
+    elif pls is not None:
+        print(
+            f"  [load_pls] WARNING: {path} is an old-format checkpoint (no "
+            "basis payload); particle coordinates are only valid in the "
+            "train-time basis, and the eigh rebuild is backend/dtype-"
+            "sensitive — predictions may not reproduce off the training "
+            "backend (see results/checkpoint_basis_audit.md)"
+        )
+        if payload.get("mean_constant") is not None:
+            pls.basis = pls.basis.replace(mean_constant=payload["mean_constant"])
     return (
         jnp.asarray(payload["particles"]),
         payload["observation_noise"],

@@ -526,13 +526,36 @@ def _gap_mechanism_paragraphs(datasets: list[str]) -> str:
     dataset: Monte-Carlo share, validation-recalibrated delta, the latent
     variance decomposition (particle projection + injected Matheron
     prior-residual noise vs the SVGP latent), and the continued-sampling
-    probe (extends the chain at the protocol's selected step size)."""
+    probe (extends the chain at the protocol's selected step size).
+
+    Only VALIDATED probe rows count: a row where the recomputed test NLL does
+    not match the committed sweep value means the probe read the particle
+    coordinates in a basis that is not the train-time one (the cross-backend
+    eigh-rebuild hazard, results/checkpoint_basis_audit.md) — its latent-
+    variance and continued-sampling numbers are artifacts. A CSV predating
+    the gate (no ``validated`` column) is treated as all-unvalidated."""
     path = os.path.join(ROOT, "results", "gap_attribution.csv")
     if not os.path.exists(path):
         return ""
     df = pd.read_csv(path)
+    if "validated" not in df.columns:
+        df = df.iloc[0:0]
+    else:
+        df = df[df["validated"]]
+    if df.empty:
+        return (
+            "### Mechanism\n\n"
+            "Pending: no probe row reproduces the committed sweep NLLs for "
+            "its (dataset, seed) — the probe read the particle coordinates "
+            "in a basis that is not the train-time one (cross-backend "
+            "basis-rebuild artifact — see "
+            "`results/checkpoint_basis_audit.md`); rerun "
+            "`analyse_gap.py` on the sweep's backend to regenerate "
+            "validated mechanism evidence.\n"
+        )
     out = [
-        "### Mechanism (post-hoc probes on the headline artifacts — "
+        "### Mechanism (post-hoc probes on the headline artifacts, each row "
+        "validated to reproduce the committed sweep NLL — "
         "`results/gap_attribution.md`)\n"
     ]
     for dataset in datasets:
@@ -558,12 +581,19 @@ def _gap_mechanism_paragraphs(datasets: list[str]) -> str:
             f"vs SVGP {m['svgp_latent_var']:.2f}"
         )
         if "pls_nll_extended" in sub.columns:
+            drop = m["pls_nll"] - m["pls_nll_extended"]
+            verdict = (
+                "the energy-plateau break fires before the particle "
+                "spread equilibrates (under-convergence)"
+                if drop > 0.02
+                else "the chain is at its stationary law — the gap is the "
+                "posterior family's, not under-convergence"
+            )
             bits.append(
                 f"continuing the chain at the selected step size: NLL "
                 f"{m['pls_nll']:.4f} -> {m['pls_nll_extended']:.4f}, "
                 f"projection var {m['pls_proj_var']:.2f} -> "
-                f"{m['pls_proj_var_extended']:.2f} — the energy-plateau "
-                "break fires before the particle spread equilibrates"
+                f"{m['pls_proj_var_extended']:.2f} — {verdict}"
             )
         out.append(f"- `{dataset}` (n={len(sub)}): " + "; ".join(bits) + ".")
     if len(out) == 1:
@@ -572,8 +602,9 @@ def _gap_mechanism_paragraphs(datasets: list[str]) -> str:
         "\nThe predictive path itself is verified faithful to the "
         "reference formula (joint-covariance block test, "
         "`tests/test_prediction.py`; torch fp64 trajectory parity, "
-        "`tests/test_reference_parity.py`) — the over-dispersion is the "
-        "method's at this M_k, not an implementation artifact.\n"
+        "`tests/test_reference_parity.py`) — whatever dispersion the probes "
+        "measure is the method's at this M_k, not an implementation "
+        "artifact.\n"
     )
     return "\n".join(out)
 

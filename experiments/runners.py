@@ -267,9 +267,11 @@ def train_pls_runner(
     ``equilibrate_spread`` (framework extension, default off = reference
     semantics): the reference's search stops on an ENERGY plateau, but the
     energy is mean-dominated — at the break point the particle SPREAD can
-    still be contracting, leaving the predictive over-dispersed (the
-    measured cause of the headline classification NLL losses,
-    ``results/gap_attribution.md``). With a float threshold (e.g. 0.01),
+    still be contracting, leaving the predictive over-dispersed (hypothesis
+    for the headline classification NLL losses; measured directly by the
+    ``outputs_precond_smooth_eq`` attribution column — the original probe
+    evidence was invalidated by the checkpoint-basis bug,
+    ``results/checkpoint_basis_audit.md``). With a float threshold (e.g. 0.01),
     the WINNING chain continues in chunks of its own length at its selected
     step size until the mean per-coordinate particle variance changes by
     less than that relative factor between chunks (capped at

@@ -16,10 +16,20 @@ WHERE the per-point NLL gap comes from:
   * latent moments — mean/variance of the PLS untransformed predictive vs the
     SVGP latent at the test points (under-dispersion shows up here).
 
-Writes a markdown report to results/gap_attribution.md. Run on CPU — it only
-predicts (no training): the heaviest op is one M x M eigh at basis rebuild.
+Writes a markdown report to results/gap_attribution.md.
 
-Usage: python experiments/uci/classification/analyse_gap.py \
+VALIDATION GATE (load-path hazard, results/checkpoint_basis_audit.md): for
+old-format checkpoints the probe rebuilds the ONB basis, and the eigh rebuild
+only reproduces the train-time basis on the training backend+dtype — probing
+TPU-trained checkpoints from CPU scrambles the particle coordinates and
+fabricates an "over-dispersion" signal. Every row therefore records the
+committed sweep's test NLL for the same (dataset, seed) and a `validated`
+flag (recomputed-vs-committed match for BOTH models); downstream consumers
+(make_results_summary.loss_attribution_section) must drop unvalidated rows.
+Run with PLST_PLATFORM=<backend of the sweep> (the headline trained on the
+TPU; new basis-carrying checkpoints validate from any backend).
+
+Usage: [PLST_PLATFORM=cpu] python experiments/uci/classification/analyse_gap.py \
           [--datasets wine_uci breast_wdbc] [--seeds 0 1 ... 9]
 
 Reference protocol being probed: /root/reference/experiments/uci/
@@ -36,7 +46,10 @@ import sys
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# default to CPU (predict-only probes must not grab the chip from a running
+# sweep); set PLST_PLATFORM to probe on the backend that trained the
+# checkpoints — required for old-format (basis-less) checkpoints
+jax.config.update("jax_platforms", os.environ.get("PLST_PLATFORM", "cpu"))
 
 import jax.numpy as jnp
 import numpy as np
@@ -286,6 +299,24 @@ def main() -> None:
 
     import pandas as pd
 
+    # committed sweep record for the validation gate (see module docstring):
+    # a probe row only counts if its recomputed NLLs match what the sweep
+    # itself recorded at train time for the same checkpoint
+    committed = pd.read_csv(os.path.join(ROOT, "results", "uci_metrics_long.csv"))
+    committed = committed[
+        (committed["protocol"] == args.outputs_dirname)
+        & (committed["metric"] == "nll")
+        & (committed["split"] == "test")
+    ]
+
+    def _committed_nll(dataset: str, seed: int, model: str) -> float:
+        sub = committed[
+            (committed["dataset"] == dataset)
+            & (committed["seed"] == seed)
+            & (committed["model"] == model)
+        ]
+        return float(sub["value"].iloc[0]) if len(sub) else float("nan")
+
     csv_path = os.path.splitext(args.report)[0] + ".csv"
     rows = []
     for dataset in args.datasets:
@@ -295,6 +326,23 @@ def main() -> None:
             except FileNotFoundError as e:
                 print(f"skip {dataset}/{seed}: {e}")
                 continue
+            r["pls_nll_committed"] = _committed_nll(dataset, seed, "pls-onb")
+            r["svgp_nll_committed"] = _committed_nll(dataset, seed, "svgp")
+            tol = 1e-3  # recompute formula matches the sweep to ~1e-7 when
+            # the basis matches; a scrambled basis misses by whole nats
+            r["validated"] = bool(
+                abs(r["pls_nll"] - r["pls_nll_committed"]) <= tol
+                and abs(r["svgp_nll"] - r["svgp_nll_committed"]) <= tol
+            )
+            if not r["validated"]:
+                print(
+                    f"  [validate] {dataset}/{seed} FAILED: probe pls "
+                    f"{r['pls_nll']:.4f} vs committed "
+                    f"{r['pls_nll_committed']:.4f}, svgp {r['svgp_nll']:.4f} "
+                    f"vs {r['svgp_nll_committed']:.4f} — basis mismatch or "
+                    f"stale checkpoint; row excluded downstream",
+                    flush=True,
+                )
             rows.append(r)
             # incremental dump: an interrupted run keeps every finished seed
             # (the CSV is the clean-clone source for the RESULTS.md mechanism

@@ -303,6 +303,7 @@ def main(
             best_lr=best_lr,
             number_of_epochs=number_of_epochs,
             mean_constant=best_m0,
+            basis=pls.basis,
         )
     calculate_metrics(
         model=pls,

@@ -343,6 +343,7 @@ def main(
                 # valid value — `or None` would collapse it and skip the
                 # restore on reload)
                 mean_constant=float(pls.basis.mean_constant),
+                basis=pls.basis,
             )
         calculate_metrics(
             model=pls,

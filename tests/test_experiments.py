@@ -566,12 +566,55 @@ def test_loss_attribution_section_structure():
             or "survives every measured toggle" in v
             or "attribution pending" in v
         )
-    # the mechanism block renders whenever the committed probe CSV exists
+    # the mechanism block renders whenever the committed probe CSV exists —
+    # full evidence only from VALIDATED rows (probe NLL reproduces the
+    # committed sweep value; results/checkpoint_basis_audit.md), an explicit
+    # "pending" notice otherwise
     import os
 
-    if os.path.exists(os.path.join(mrs.ROOT, "results", "gap_attribution.csv")):
+    import pandas as pd
+
+    csv_path = os.path.join(mrs.ROOT, "results", "gap_attribution.csv")
+    if os.path.exists(csv_path):
         assert "### Mechanism" in section
-        assert "prior residual" in section
+        probe = pd.read_csv(csv_path)
+        has_valid = "validated" in probe.columns and bool(probe["validated"].any())
+        if has_valid:
+            assert "prior residual" in section
+        else:
+            assert "Pending" in section and "checkpoint_basis_audit" in section
+
+
+def test_gap_mechanism_validation_gate(tmp_path, monkeypatch):
+    """Unvalidated probe rows (basis-rebuild mismatch — results/
+    checkpoint_basis_audit.md) must never render as mechanism evidence;
+    validated rows must."""
+    import pandas as pd
+
+    from experiments import make_results_summary as mrs
+
+    row = dict(
+        dataset="breast_wdbc", seed=0, pls_nll=0.1, svgp_nll=0.06, delta=0.04,
+        pls_mc_std=0.001, pls_latent_var=0.5, pls_proj_var=0.3,
+        pls_noise_var=0.2, svgp_latent_var=0.2, pls_nll_extended=0.1,
+        pls_proj_var_extended=0.3,
+    )
+    (tmp_path / "results").mkdir()
+    monkeypatch.setattr(mrs, "ROOT", str(tmp_path))
+    csv = tmp_path / "results" / "gap_attribution.csv"
+
+    pd.DataFrame([{**row, "validated": False}]).to_csv(csv, index=False)
+    pending = mrs._gap_mechanism_paragraphs(["breast_wdbc"])
+    assert "Pending" in pending and "breast_wdbc" not in pending
+
+    # legacy CSV (pre-gate, no column) is treated the same
+    pd.DataFrame([row]).to_csv(csv, index=False)
+    assert "Pending" in mrs._gap_mechanism_paragraphs(["breast_wdbc"])
+
+    pd.DataFrame([{**row, "validated": True}]).to_csv(csv, index=False)
+    full = mrs._gap_mechanism_paragraphs(["breast_wdbc"])
+    assert "prior residual" in full and "`breast_wdbc`" in full
+    assert "stationary law" in full  # no NLL drop -> not under-convergence
 
 
 def test_equilibrate_spread_extends_winning_chain():
