@@ -409,7 +409,7 @@ LOSS_ATTRIBUTION_TOGGLES = (
     ("outputs_precond", "smoothing+m0 off"),
     ("outputs_precond_smooth_j1000", "headline, J=1000"),
     ("outputs_precond_smooth_t2", "headline, T=2 (4x chain)"),
-    ("outputs_precond_smooth_eq", "headline + spread-equilibration (framework fix)"),
+    ("outputs_precond_smooth_eq", "headline + spread-equilibration phase"),
 )
 
 

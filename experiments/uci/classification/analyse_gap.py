@@ -168,7 +168,10 @@ def _recalibrate(p_val, y_val, p_tgt):
     return 1 / (1 + np.exp(-(a * zt + b))), a, b
 
 
-def analyse(base: str, dataset: str, seed: int, config: dict) -> dict:
+def analyse(base: str, dataset: str, seed: int, config: dict) -> tuple[dict, dict]:
+    """Returns (probe row, resave context) — the context carries what
+    ``--resave`` needs to upgrade a VALIDATED old-format checkpoint to the
+    basis-carrying format (experiments/loaders.save_pls)."""
     experiment_data, pls, particles, svgp, best_lr, n_epochs = _load_models(
         base, dataset, seed, config
     )
@@ -280,7 +283,14 @@ def analyse(base: str, dataset: str, seed: int, config: dict) -> dict:
         )
         out["pls_proj_var_extended"] = float(np.mean(np.var(f2, axis=1)))
         out["extra_steps"] = extra
-    return out
+    resave_ctx = {
+        "path": os.path.join(base, str(seed), "models", dataset, "pls-onb.pkl"),
+        "pls": pls,
+        "particles": particles,
+        "best_lr": best_lr,
+        "n_epochs": n_epochs,
+    }
+    return out, resave_ctx
 
 
 def main() -> None:
@@ -291,6 +301,13 @@ def main() -> None:
         "--outputs_dirname", default="outputs_precond_smooth",
     )
     parser.add_argument("--report", default=os.path.join(ROOT, "results", "gap_attribution.md"))
+    parser.add_argument(
+        "--resave",
+        action="store_true",
+        help="upgrade each VALIDATED old-format checkpoint to the basis-"
+        "carrying format (loaders.save_pls) so later probes are backend-"
+        "independent; only touched when the validation gate passes",
+    )
     args = parser.parse_args()
     here = os.path.dirname(os.path.abspath(__file__))
     base = os.path.join(here, args.outputs_dirname)
@@ -322,7 +339,7 @@ def main() -> None:
     for dataset in args.datasets:
         for seed in args.seeds:
             try:
-                r = analyse(base, dataset, seed, config)
+                r, resave_ctx = analyse(base, dataset, seed, config)
             except FileNotFoundError as e:
                 print(f"skip {dataset}/{seed}: {e}")
                 continue
@@ -343,6 +360,26 @@ def main() -> None:
                     f"stale checkpoint; row excluded downstream",
                     flush=True,
                 )
+            if args.resave and r["validated"]:
+                with open(resave_ctx["path"], "rb") as f:
+                    payload = pickle.load(f)
+                if payload.get("basis") is None:
+                    from experiments.loaders import save_pls
+
+                    save_pls(
+                        path=resave_ctx["path"],
+                        particles=resave_ctx["particles"],
+                        observation_noise=payload.get("observation_noise"),
+                        best_lr=resave_ctx["best_lr"],
+                        number_of_epochs=resave_ctx["n_epochs"],
+                        mean_constant=payload.get("mean_constant"),
+                        basis=resave_ctx["pls"].basis,
+                    )
+                    print(
+                        f"  [resave] {resave_ctx['path']} upgraded to the "
+                        "basis-carrying format (validated frame)",
+                        flush=True,
+                    )
             rows.append(r)
             # incremental dump: an interrupted run keeps every finished seed
             # (the CSV is the clean-clone source for the RESULTS.md mechanism
