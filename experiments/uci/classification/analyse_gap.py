@@ -335,6 +335,29 @@ def main() -> None:
         return float(sub["value"].iloc[0]) if len(sub) else float("nan")
 
     csv_path = os.path.splitext(args.report)[0] + ".csv"
+    # merge-never-clobber: the probe is invoked incrementally (the round-4
+    # queue probes each (dataset, seed) right after its headline regen, on
+    # the sweep's backend) — keep previously probed rows, replacing only
+    # same-(dataset, seed) ones. Pre-gate rows (no `validated` column) are
+    # dropped: downstream consumers ignore them anyway.
+    prior = None
+    if os.path.exists(csv_path):
+        prior = pd.read_csv(csv_path)
+        if "validated" not in prior.columns:
+            prior = None
+
+    def _merged(rows: list[dict]) -> "pd.DataFrame":
+        fresh = pd.DataFrame(rows)
+        if prior is None or prior.empty:
+            return fresh
+        probed = set(zip(fresh["dataset"], fresh["seed"]))
+        keep = prior[
+            ~prior.apply(lambda r: (r["dataset"], r["seed"]) in probed, axis=1)
+        ]
+        return pd.concat([keep, fresh], ignore_index=True).sort_values(
+            ["dataset", "seed"]
+        )
+
     rows = []
     for dataset in args.datasets:
         for seed in args.seeds:
@@ -384,7 +407,7 @@ def main() -> None:
             # incremental dump: an interrupted run keeps every finished seed
             # (the CSV is the clean-clone source for the RESULTS.md mechanism
             # paragraph — make_results_summary.loss_attribution_section)
-            pd.DataFrame(rows).to_csv(csv_path, index=False)
+            _merged(rows).to_csv(csv_path, index=False)
             print(
                 f"{dataset}/{seed}: pls={r['pls_nll']:.4f} svgp={r['svgp_nll']:.4f} "
                 f"mc_std={r['pls_mc_std']:.4f} recal={r.get('pls_nll_recal', float('nan')):.4f} "
@@ -398,7 +421,7 @@ def main() -> None:
     if not rows:
         print("no artifacts found")
         return
-    df = pd.DataFrame(rows)
+    df = _merged(rows)
     lines = [
         "# Headline classification NLL gap — post-hoc attribution\n",
         "Per-seed probes on the headline sweep's saved artifacts"
