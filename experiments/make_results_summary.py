@@ -582,10 +582,14 @@ def _gap_mechanism_paragraphs(datasets: list[str]) -> str:
         )
         if "pls_nll_extended" in sub.columns:
             drop = m["pls_nll"] - m["pls_nll_extended"]
+            # verdict is gap-RELATIVE, not absolute: on a small-NLL dataset
+            # (e.g. breast_wdbc, NLL ~0.06) a 0.004-nat drop is most of the
+            # paired gap — continuing the chain closing >=half the gap means
+            # the stopping rule, not the posterior family, caused the loss
             verdict = (
                 "the energy-plateau break fires before the particle "
                 "spread equilibrates (under-convergence)"
-                if drop > 0.02
+                if m["delta"] > 0 and drop >= 0.5 * m["delta"]
                 else "the chain is at its stationary law — the gap is the "
                 "posterior family's, not under-convergence"
             )
