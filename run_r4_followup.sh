@@ -22,7 +22,7 @@ HEAD=$BASE/outputs_precond_smooth
 LOG=$BASE/run_r4_followup.log
 DATASETS=${DATASETS:-"breast_wdbc wine_uci"}
 SEEDS=${SEEDS:-"0 1 2 3 4 5 6 7 8 9"}
-PROBE_SEEDS=${PROBE_SEEDS:-"0 1 2"}
+PROBE_SEEDS=${PROBE_SEEDS:-"0"}
 
 copy_cache () {  # copy_cache <src_outputs_dir> <dst_outputs_dir> <dataset> <seed>
   local SRC=$1 DST=$2 ds=$3 seed=$4
@@ -47,6 +47,8 @@ run_config () {  # run_config <config_name> <outputs_dirname> <dataset> <seed>
 
 probe () {  # probe <dataset> <seed> — mechanism probe on the sweep's backend
   local ds=$1 seed=$2
+  # done-marker: a validated probe row already in the committed CSV
+  python -c "import pandas as pd, sys; d = pd.read_csv('results/gap_attribution.csv'); sys.exit(0 if bool(((d.dataset == '$ds') & (d.seed == $seed) & d.validated).any()) else 1)" 2>/dev/null && return 0
   echo "=== r4fu: probe ds=$ds seed=$seed $(date)" >> "$LOG"
   python scripts/validate_regen.py $HEAD --datasets $ds --seeds $seed >> "$LOG" 2>&1
   PLST_PLATFORM=axon timeout 3600 python $BASE/analyse_gap.py \
