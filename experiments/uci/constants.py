@@ -226,7 +226,32 @@ class WineUCIDataset(Dataset):
     output_column_name = "target"
 
 
-EXTRA_REGRESSION_DATASETS = {"diabetes_sklearn": DiabetesSklearnDataset}
+class WineAlcoholDataset(Dataset):
+    # real UCI wine chemical analysis (178 x 13, bundled with sklearn) as a
+    # REGRESSION task: predict the measured alcohol content (% vol) from the
+    # other 12 chemical measurements (cultivar label dropped)
+    input_column_names = [
+        "malic_acid", "ash", "alcalinity_of_ash", "magnesium",
+        "total_phenols", "flavanoids", "nonflavanoid_phenols",
+        "proanthocyanins", "color_intensity", "hue",
+        "od280_od315_of_diluted_wines", "proline",
+    ]
+    output_column_name = "alcohol"
+
+
+class IrisPetalDataset(Dataset):
+    # real UCI iris (150 x 4, bundled with sklearn) as a REGRESSION task:
+    # predict the measured petal length (cm) from the other three flower
+    # measurements (species label dropped) — Anderson's original data
+    input_column_names = ["sepal_length_cm", "sepal_width_cm", "petal_width_cm"]
+    output_column_name = "petal_length_cm"
+
+
+EXTRA_REGRESSION_DATASETS = {
+    "diabetes_sklearn": DiabetesSklearnDataset,
+    "wine_alcohol": WineAlcoholDataset,
+    "iris_petal": IrisPetalDataset,
+}
 EXTRA_CLASSIFICATION_DATASETS = {
     "breast_wdbc": BreastWDBCDataset,
     "digits_even": DigitsEvenDataset,

@@ -361,13 +361,40 @@ def write_sklearn_bundled(out_dir: str) -> None:
     iris.columns = [
         c.replace(" (cm)", "_cm").replace(" ", "_") for c in iris.columns
     ]
-    iris = iris[iris["target"] != 0].copy()
-    iris["target"] = (iris["target"] == 2).astype(int)
-    zscore(iris, "target").to_csv(os.path.join(out_dir, "iris_binary.csv"), index=False)
+    iris_bin = iris[iris["target"] != 0].copy()
+    iris_bin["target"] = (iris_bin["target"] == 2).astype(int)
+    zscore(iris_bin, "target").to_csv(
+        os.path.join(out_dir, "iris_binary.csv"), index=False
+    )
+    # real REGRESSION tasks from the same bundled measurements (widening the
+    # real-data regression denominator in network-restricted environments):
+    # wine_alcohol — predict the measured alcohol content (% vol) from the
+    # other 12 chemical measurements (cultivar label dropped; the target is
+    # kept in original units, the pipeline y-normalises on the train split)
+    wine_reg = load_wine(as_frame=True).frame
+    wine_reg.columns = [
+        c.replace("/", "_").replace(" ", "_") for c in wine_reg.columns
+    ]
+    wine_reg = wine_reg.drop(columns=["target"])
+    zscore(wine_reg, "alcohol").to_csv(
+        os.path.join(out_dir, "wine_alcohol.csv"), index=False
+    )
+    # iris_petal — predict the measured petal length (cm) from the other
+    # three measurements (species label dropped)
+    iris_reg = load_iris(as_frame=True).frame
+    iris_reg.columns = [
+        c.replace(" (cm)", "_cm").replace(" ", "_") for c in iris_reg.columns
+    ]
+    iris_reg = iris_reg.drop(columns=["target"])
+    zscore(iris_reg, "petal_length_cm").to_csv(
+        os.path.join(out_dir, "iris_petal.csv"), index=False
+    )
     print(f"wrote breast_wdbc.csv ({len(wdbc)} rows), diabetes_sklearn.csv "
           f"({len(diab)} rows), digits_even.csv ({len(ddf)} rows), "
-          f"wine_uci.csv ({len(wine)} rows), iris_binary.csv ({len(iris)} rows) "
-          f"to {out_dir} [REAL sklearn-bundled UCI data, z-scored features]")
+          f"wine_uci.csv ({len(wine)} rows), iris_binary.csv ({len(iris_bin)} rows), "
+          f"wine_alcohol.csv ({len(wine_reg)} rows), iris_petal.csv "
+          f"({len(iris_reg)} rows) to {out_dir} "
+          f"[REAL sklearn-bundled UCI data, z-scored features]")
 
 
 def main() -> int:

@@ -81,6 +81,18 @@ def test_sklearn_bundled_real_data(tmp_path):
     assert len(iris) == 100  # versicolor + virginica only
     assert sorted(iris["target"].unique()) == [0, 1]
     assert iris["target"].sum() == 50  # balanced pair
+    # real REGRESSION tasks derived from the same bundled measurements
+    wine_alc = pd.read_csv(tmp_path / "wine_alcohol.csv")
+    schema = constants.resolve_schema("wine_alcohol")
+    assert set(schema.input_column_names) <= set(wine_alc.columns)
+    assert len(wine_alc) == 178  # the real UCI wine row count
+    assert "target" not in wine_alc.columns  # cultivar label dropped
+    assert wine_alc["alcohol"].between(11, 15).all()  # raw % vol target
+    iris_pet = pd.read_csv(tmp_path / "iris_petal.csv")
+    schema = constants.resolve_schema("iris_petal")
+    assert set(schema.input_column_names) <= set(iris_pet.columns)
+    assert len(iris_pet) == 150  # all three species kept
+    assert iris_pet["petal_length_cm"].between(0.5, 8).all()  # raw cm target
 
 
 def test_pin_and_verify_roundtrip(tmp_path, monkeypatch, capsys):
