@@ -2,6 +2,7 @@ from projected_langevin_sampling_tpu.parallel.auto import parallel_train_pls
 from projected_langevin_sampling_tpu.parallel.mesh import (
     DATA_AXIS,
     PARTICLE_AXIS,
+    initialize_multi_host,
     make_mesh,
 )
 from projected_langevin_sampling_tpu.parallel.sharded import (
@@ -14,6 +15,7 @@ from projected_langevin_sampling_tpu.parallel.sharded import (
 __all__ = [
     "DATA_AXIS",
     "PARTICLE_AXIS",
+    "initialize_multi_host",
     "make_mesh",
     "parallel_train_pls",
     "ShardedPLSOperators",
