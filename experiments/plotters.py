@@ -62,6 +62,93 @@ def _finish(fig, save_path):
     return fig
 
 
+def plot_1d_data(
+    data: Data,
+    title: str | None = None,
+    save_path: str | None = None,
+    color: str = "tab:blue",
+    alpha: float = 0.3,
+    s: int = 10,
+    ax=None,
+):
+    """Scatter one labelled split (reference ``plotters.py:127``
+    plot_1d_data). Pass ``ax`` to compose onto an existing figure (the
+    reference threads fig/ax through every call); standalone use creates and
+    finishes its own figure like the rest of this module."""
+    fig = None
+    if ax is None:
+        fig, ax = plt.subplots(figsize=(9, 4.5))
+    if data.y is not None:
+        ax.scatter(
+            np.asarray(data.x)[:, 0], np.asarray(data.y),
+            label=data.name, alpha=alpha, color=color, s=s,
+        )
+    ax.set_xlabel("$x$")
+    ax.set_ylabel("$y$")
+    if title:
+        ax.set_title(title)
+    if fig is None:
+        return ax
+    ax.legend(loc="best", fontsize=8)
+    return _finish(fig, save_path)
+
+
+def plot_1d_particle(ax, x, y, add_label: bool = False, alpha: float = 0.2):
+    """One particle's predicted function as a faint black trace (reference
+    ``plotters.py:224`` plot_1d_particle): composes onto the caller's axes;
+    ``add_label`` labels only the first trace so the legend shows a single
+    'particle' entry for the whole fan."""
+    x_plot, order = _sorted_1d(x)
+    ax.plot(
+        x_plot[order], np.asarray(y).reshape(-1)[order],
+        color="black", alpha=alpha, zorder=0,
+        label="particle" if add_label else None,
+    )
+    ax.set_xlabel("$x$")
+    ax.set_ylabel("$y$")
+    return ax
+
+
+def plot_1d_non_parametric_prediction(
+    x,
+    mean,
+    lower,
+    upper,
+    coverage: float = 0.95,
+    title: str | None = None,
+    save_path: str | None = None,
+    ax=None,
+):
+    """Mean line + sample-quantile coverage band for predictives with no
+    parametric envelope (reference ``plotters.py:80``
+    plot_1d_non_parametric_prediction): grey band between the empirical
+    lower/upper quantiles, black mean line."""
+    fig = None
+    if ax is None:
+        fig, ax = plt.subplots(figsize=(9, 4.5))
+    x_plot, order = _sorted_1d(x)
+    ax.fill_between(
+        x_plot[order],
+        np.asarray(lower).reshape(-1)[order],
+        np.asarray(upper).reshape(-1)[order],
+        facecolor=(0.9, 0.9, 0.9),
+        label=f"{coverage * 100:g}% error",
+        zorder=0,
+    )
+    ax.plot(
+        x_plot[order], np.asarray(mean).reshape(-1)[order],
+        label="mean", zorder=1, color="black", linewidth=0.8,
+    )
+    ax.set_xlabel("$x$")
+    ax.set_ylabel("$y$")
+    if title:
+        ax.set_title(title)
+    if fig is None:
+        return ax
+    ax.legend(loc="best", fontsize=8)
+    return _finish(fig, save_path)
+
+
 def plot_1d_pls_prediction(
     experiment_data: ExperimentData,
     x,

@@ -86,6 +86,48 @@ class _StubConformal:
         return ConformalPrediction(coverage=coverage, mean=y, lower=y - 1, upper=y + 1)
 
 
+def test_data_particle_and_non_parametric_plotters(tmp_path):
+    """The three 1-D building-block plotters (reference plotters.py:80,127,224):
+    standalone save AND composition onto a shared axes."""
+    import matplotlib.pyplot as plt
+
+    from experiments.plotters import (
+        plot_1d_data,
+        plot_1d_non_parametric_prediction,
+        plot_1d_particle,
+    )
+
+    ed = _experiment_data()
+    samples = np.random.default_rng(2).normal(size=(N, 8))
+    lower, upper = np.quantile(samples, [0.025, 0.975], axis=1)
+
+    p1 = tmp_path / "data.png"
+    assert plot_1d_data(ed.train, title="t", save_path=str(p1)) is None
+    assert p1.exists() and p1.stat().st_size > 0
+
+    p2 = tmp_path / "npp.png"
+    out = plot_1d_non_parametric_prediction(
+        ed.full.x, mean=samples.mean(axis=1), lower=lower, upper=upper,
+        coverage=0.95, save_path=str(p2),
+    )
+    assert out is None and p2.exists() and p2.stat().st_size > 0
+
+    # composition: all three share one axes, particle labels appear once
+    fig, ax = plt.subplots()
+    plot_1d_data(ed.train, ax=ax)
+    for j in range(samples.shape[1]):
+        plot_1d_particle(ax, ed.full.x, samples[:, j], add_label=(j == 0))
+    plot_1d_non_parametric_prediction(
+        ed.full.x, samples.mean(axis=1), lower, upper, ax=ax
+    )
+    handles, labels = ax.get_legend_handles_labels()
+    assert labels.count("particle") == 1
+    p3 = tmp_path / "composed.png"
+    fig.savefig(p3)
+    plt.close(fig)
+    assert p3.exists() and p3.stat().st_size > 0
+
+
 def test_conformal_plotter(tmp_path):
     ed = _experiment_data()
     p = os.path.join(tmp_path, "conf.png")
