@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import functools
 import os
+import warnings
 from typing import NamedTuple
 
 import jax
@@ -1160,6 +1161,23 @@ def train_pls(
         discretisation,
         particles_bytes=particles.dtype.itemsize * particles.size,
     )
+    if fast_path == "auto" and key is not None and tier in (
+        "spectral",
+        "spectral_fused",
+    ):
+        # PARITY.md deviation 3: the spectral tier is law-equivalent but not
+        # sample-path-equivalent, so a caller who passed an explicit key/seed
+        # is NOT getting a trajectory reproducible against fast_path="off".
+        # warnings' per-location dedup makes this fire once per process.
+        warnings.warn(
+            'fast_path="auto" resolved to the spectral tier: identical '
+            "posterior law, but a given key yields a different sample path "
+            'than fast_path="quadratic"/"off". Pass fast_path="quadratic" '
+            '(or "off") explicitly if you need seeded trajectory '
+            "reproducibility.",
+            UserWarning,
+            stacklevel=2,
+        )
     # the spectral factorisation is hoisted out of jit so the eigh runs in
     # host fp64 (the TPU's device eigh is reduced-precision)
     spectral_system = (

@@ -343,3 +343,24 @@ def test_general_fused_spec_under_jit_trusts_only_the_factory_tag():
         "bernoulli_sigmoid_smoothed"
     )
     assert results["untagged"] is None
+
+
+def test_auto_with_explicit_key_warns_once_about_law_only_tier():
+    """PARITY.md deviation 3 ergonomics: fast_path="auto" resolving to the
+    law-equivalent spectral tier must warn a caller who passed an explicit
+    key/seed; explicit tiers and keyless auto runs stay silent."""
+    import warnings as _warnings
+
+    basis, cost = _setup("onb")
+    pls = PLS(basis=basis, cost=cost)
+    particles = pls.initialise_particles(8, key=0)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        train_pls(pls, particles, 5, 1e-3, key=3, fast_path="auto")
+    assert any("spectral tier" in str(w.message) for w in caught)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        train_pls(pls, particles, 5, 1e-3, key=3, fast_path="spectral")
+        train_pls(pls, particles, 5, 1e-3, key=3, fast_path="quadratic")
+        train_pls(pls, particles, 5, 1e-3, fast_path="auto")
+    assert not [w for w in caught if "spectral tier" in str(w.message)]
