@@ -1,0 +1,300 @@
+"""Poisson (square-link) head-to-head QUALITY study (round-5 follow-up to the
+round-4 verdict: "the full cost zoo needs quality evidence, not just parity
+tests").
+
+The reference's Poisson experiment (``curves/poisson_regression/main.py``)
+trains PLS only — there is no baseline model in its grid because gpytorch's
+SVGP has no square-link Poisson likelihood. This study therefore measures the
+VALUE of the Poisson cost itself: on the reference's own 10 synthetic curves,
+with counts drawn fresh per data seed (n seeds, reference n=10 standard),
+
+    pls-onb / pls-ipb   PLS with PoissonCost + SquareLinkFunction
+    svgp-gaussian       SVGP with a Gaussian likelihood trained on the raw
+                        counts — the model a practitioner falls back to
+                        without a count likelihood
+
+are compared on the held-out interval split by
+  * test count NLL — the log score of each model's predictive (Poisson
+    plug-in for PLS, Gaussian for SVGP; log scores of different predictive
+    families on the same data are directly comparable), and
+  * rate RMSE vs the TRUE generating rate (the synthetic oracle the UCI
+    studies never have).
+
+Per-seed results append (never clobber) to ``results/poisson_study_long.csv``
+so interrupted sweeps resume; rerun a finished cell by deleting its outputs
+tree.
+
+Usage:
+    python experiments/curves/poisson_regression/study.py \
+        --config_path experiments/curves/poisson_regression/config.yaml \
+        --curves 1,2,3,4,5 --seeds 0,1,2,3,4,5,6,7,8,9
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import yaml
+
+from experiments.curves.common import learn_kernel_and_inducing_points
+from experiments.curves.curves import CURVE_FUNCTIONS
+from experiments.curves.poisson_regression.main import get_experiment_data
+from experiments.loaders import load_pls, load_svgp, save_pls, save_svgp
+from experiments.metrics import calculate_metrics
+from experiments.runners import train_pls_runner, train_svgp_runner
+from experiments.utils import create_directory
+from projected_langevin_sampling_tpu.models.basis import (
+    build_inducing_point_basis,
+    build_orthonormal_basis,
+)
+from projected_langevin_sampling_tpu.models.costs import PoissonCost
+from projected_langevin_sampling_tpu.models.gaussian_process import (
+    GaussianLikelihood,
+)
+from projected_langevin_sampling_tpu.models.link_functions import SquareLinkFunction
+from projected_langevin_sampling_tpu.models.pls import PLS
+
+ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.realpath(__file__))))
+)
+LONG_CSV = os.environ.get(
+    "PLST_POISSON_LONG_CSV", os.path.join(ROOT, "results", "poisson_study_long.csv")
+)
+
+parser = argparse.ArgumentParser(description="Poisson cost head-to-head study.")
+parser.add_argument("--config_path", type=str, required=True)
+parser.add_argument("--curves", type=str, default=",".join(str(i + 1) for i in range(len(CURVE_FUNCTIONS))))
+parser.add_argument("--seeds", type=str, default="0,1,2,3,4,5,6,7,8,9")
+parser.add_argument("--outputs_dirname", type=str, default="outputs_study")
+
+
+def _point_rate(model, particles, x):
+    """Point rate estimate on x: Poisson predictive rate for PLS, Gaussian
+    predictive mean (= expected counts) for SVGP."""
+    if isinstance(model, PLS):
+        pred = model(x=x, particles=particles, key=0)
+    else:
+        pred = model.predict_y(x)
+    return np.asarray(pred.mean).reshape(-1), pred
+
+
+def _merge_rows(rows: list[dict]) -> None:
+    create_directory(os.path.dirname(LONG_CSV))
+    fresh = pd.DataFrame(rows)
+    keys = ["curve", "seed", "model", "metric", "split"]
+    if os.path.exists(LONG_CSV):
+        fresh = pd.concat([fresh, pd.read_csv(LONG_CSV)], ignore_index=True)
+    fresh.drop_duplicates(subset=keys, keep="first").sort_values(keys).to_csv(
+        LONG_CSV, index=False
+    )
+
+
+def run_cell(curve_function, seed: int, config: dict, outputs_path: str) -> None:
+    curve_name = type(curve_function).__name__.lower()
+    data_config = config["data"]
+    experiment_data = get_experiment_data(
+        curve_function=curve_function,
+        number_of_data_points=data_config["number_of_data_points"],
+        seed=seed,
+        number_of_test_intervals=data_config["number_of_test_intervals"],
+        total_number_of_intervals=data_config["total_number_of_intervals"],
+    )
+    base = os.path.join(outputs_path, str(seed))
+    data_path = os.path.join(base, "data", curve_name)
+    models_path = os.path.join(base, "models", curve_name)
+    results_path = os.path.join(base, "results", curve_name)
+    plots_path = os.path.join(base, "plots", curve_name)
+    for p in (data_path, models_path, results_path, plots_path):
+        create_directory(p)
+
+    (_, _, likelihood, mean_constant, inducing_points, pls_kernel) = (
+        learn_kernel_and_inducing_points(
+            experiment_data=experiment_data,
+            kernel_config=config["kernel"],
+            inducing_points_config=config["inducing_points"],
+            models_path=models_path,
+            data_path=data_path,
+            plot_curve_path=plots_path,
+        )
+    )
+    pls_config = config["pls"]
+    cost = PoissonCost(
+        y_train=experiment_data.train.y, link_function=SquareLinkFunction()
+    )
+    onb_basis = build_orthonormal_basis(
+        kernel=pls_kernel,
+        x_induce=inducing_points.x,
+        x_train=experiment_data.train.x,
+        scaling=pls_config.get("onb_scaling", "reference"),
+    )
+    ipb_basis = build_inducing_point_basis(
+        kernel=pls_kernel,
+        x_induce=inducing_points.x,
+        y_induce=inducing_points.y,
+        x_train=experiment_data.train.x,
+    )
+    models = {
+        "pls-onb": PLS(basis=onb_basis, cost=cost),
+        "pls-ipb": PLS(basis=ipb_basis, cost=cost),
+    }
+    rows = []
+    for name, pls in models.items():
+        pls_path = os.path.join(models_path, f"{name}.pkl")
+        if os.path.exists(pls_path):
+            particles, _, _, _ = load_pls(pls_path, pls=pls)
+        else:
+            particles = pls.initialise_particles(
+                number_of_particles=pls_config["number_of_particles"],
+                noise_only=pls_config["initial_particles_noise_only"],
+                seed=pls_config["seed"],
+            )
+            particles, best_lr, n_epochs = train_pls_runner(
+                pls=pls,
+                particle_name=name,
+                experiment_data=experiment_data,
+                simulation_duration=pls_config["simulation_duration"],
+                maximum_number_of_steps=int(pls_config["maximum_number_of_steps"]),
+                early_stopper_patience=pls_config["early_stopper_patience"],
+                number_of_step_searches=pls_config["number_of_step_searches"],
+                step_size_upper=pls_config["step_size_upper"],
+                minimum_change_in_energy_potential=pls_config[
+                    "minimum_change_in_energy_potential"
+                ],
+                seed=pls_config["seed"],
+                particles=particles,
+                metric_to_optimise=pls_config["metric_to_optimise"],
+            )
+            save_pls(pls_path, particles, None, best_lr, n_epochs, basis=pls.basis)
+        calculate_metrics(
+            model=pls,
+            particles=particles,
+            model_name=name,
+            dataset_name=curve_name,
+            experiment_data=experiment_data,
+            results_path=results_path,
+            plots_path=plots_path,
+            coverage=config["metrics"]["coverage"] if "metrics" in config else 0.95,
+        )
+        rows.extend(
+            _oracle_rows(name, pls, particles, experiment_data, curve_name, seed)
+        )
+
+    svgp_path = os.path.join(models_path, "svgp-gaussian.pkl")
+    svgp_likelihood = GaussianLikelihood(noise=likelihood.noise)
+    svgp_config = config["svgp"]
+    if os.path.exists(svgp_path):
+        svgp, _, _ = load_svgp(svgp_path, likelihood=svgp_likelihood)
+    else:
+        svgp, losses, best_learning_rate = train_svgp_runner(
+            model_name="svgp-gaussian",
+            experiment_data=experiment_data,
+            inducing_points=inducing_points,
+            kernel=pls_kernel,
+            likelihood=svgp_likelihood,
+            seed=svgp_config["seed"],
+            number_of_epochs=svgp_config["number_of_epochs"],
+            batch_size=svgp_config["batch_size"],
+            learning_rate_upper=svgp_config["learning_rate_upper"],
+            learning_rate_lower=svgp_config["learning_rate_lower"],
+            number_of_learning_rate_searches=svgp_config[
+                "number_of_learning_rate_searches"
+            ],
+            is_fixed=True,
+            observation_noise=float(likelihood.noise),
+            mean_constant=float(mean_constant),
+            early_stopper_patience=svgp_config["early_stopper_patience"],
+            models_path=os.path.join(models_path, "svgp-kernel-iterations"),
+        )
+        save_svgp(svgp_path, svgp, losses, best_learning_rate)
+    calculate_metrics(
+        model=svgp,
+        model_name="svgp-gaussian",
+        dataset_name=curve_name,
+        experiment_data=experiment_data,
+        results_path=results_path,
+        plots_path=plots_path,
+        coverage=config["metrics"]["coverage"] if "metrics" in config else 0.95,
+    )
+    rows.extend(
+        _oracle_rows("svgp-gaussian", svgp, None, experiment_data, curve_name, seed)
+    )
+
+    # consolidate this cell's metric CSVs + oracle rows into the long CSV
+    for model in ("pls-onb", "pls-ipb", "svgp-gaussian"):
+        for split in ("train", "test"):
+            for metric in ("nll", "mse", "mae"):
+                f = os.path.join(results_path, model, f"{metric}_{split}.csv")
+                if not os.path.exists(f):
+                    continue
+                value = float(pd.read_csv(f, index_col="dataset")[model].iloc[0])
+                rows.append(
+                    dict(
+                        curve=curve_name, seed=seed, model=model,
+                        metric=metric, split=split, value=value,
+                    )
+                )
+    _merge_rows(rows)
+    print(f"[poisson-study] merged {curve_name} seed={seed}", flush=True)
+
+
+def _oracle_rows(name, model, particles, experiment_data, curve_name, seed):
+    """Rate RMSE vs the TRUE generating rate on each split (oracle metric)."""
+    rows = []
+    for split in ("train", "test"):
+        data = getattr(experiment_data, split)
+        if data is None or data.y_untransformed is None:
+            continue
+        rate_hat, _ = _point_rate(model, particles, data.x)
+        true_rate = np.asarray(data.y_untransformed).reshape(-1)
+        rows.append(
+            dict(
+                curve=curve_name, seed=seed, model=name,
+                metric="rate_rmse", split=split,
+                value=float(np.sqrt(np.mean((rate_hat - true_rate) ** 2))),
+            )
+        )
+    return rows
+
+
+def main() -> None:
+    args = parser.parse_args()
+    with open(args.config_path) as f:
+        config = yaml.safe_load(f)
+    outputs_path = os.path.join(
+        os.path.dirname(os.path.realpath(__file__)), args.outputs_dirname
+    )
+    curve_ids = [int(c) for c in args.curves.split(",") if c]
+    seeds = [int(s) for s in args.seeds.split(",") if s]
+    done = None
+    if os.path.exists(LONG_CSV):
+        done = pd.read_csv(LONG_CSV)
+    for curve_id in curve_ids:
+        curve_function = CURVE_FUNCTIONS[curve_id - 1]
+        curve_name = type(curve_function).__name__.lower()
+        for seed in seeds:
+            if done is not None and (
+                (done.curve == curve_name)
+                & (done.seed == seed)
+                & (done.model == "svgp-gaussian")
+                & (done.metric == "nll")
+                & (done.split == "test")
+            ).any():
+                print(f"[poisson-study] skip (committed): {curve_name} seed={seed}")
+                continue
+            run_cell(curve_function, seed, config, outputs_path)
+
+
+if __name__ == "__main__":
+    if os.environ.get("PLST_X64", "1") != "0":
+        jax.config.update("jax_enable_x64", True)
+    platform = os.environ.get("PLST_PLATFORM")
+    if platform is None and jax.config.jax_enable_x64:
+        platform = "cpu"
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    main()
