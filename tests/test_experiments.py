@@ -10,7 +10,7 @@ import pytest
 
 from experiments.curves.curves import CURVE_FUNCTIONS, Curve2
 from experiments.data import Data, ExperimentData, ProblemType
-from experiments.early_stopper import EarlyStopper
+from projected_langevin_sampling_tpu.utils.early_stopper import EarlyStopper
 from experiments.metrics import (
     calculate_coverage,
     calculate_mae,
