@@ -814,6 +814,8 @@ def headline_vs_svgp_section(
     lower_better: tuple[str, ...] = ("nll", "mse", "mae"),
     datasets: tuple[str, ...] | None = None,
     title_suffix: str = "",
+    pls_model: str = "pls-onb",
+    svgp_model: str = "svgp",
 ) -> str:
     """PLS vs SVGP head-to-head on the headline protocol (nystrom scaling +
     preconditioned discretisation + empirical-Bayes MAP mean constant when
@@ -875,12 +877,12 @@ def headline_vs_svgp_section(
             continue
         rows = [
             f"### {metric}\n",
-            "| dataset | pls-onb | svgp | paired delta (pls-svgp) | winner |",
+            f"| dataset | {pls_model} | {svgp_model} | paired delta (pls-svgp) | winner |",
             "|---|---|---|---|---|",
         ]
         for dataset in sorted(sel["dataset"].unique()):
-            psel = sel[(sel["dataset"] == dataset) & (sel["model"] == "pls-onb")]
-            ssel = sel[(sel["dataset"] == dataset) & (sel["model"] == "svgp")]
+            psel = sel[(sel["dataset"] == dataset) & (sel["model"] == pls_model)]
+            ssel = sel[(sel["dataset"] == dataset) & (sel["model"] == svgp_model)]
             p, s = psel["value"], ssel["value"]
             if p.empty or s.empty:
                 continue
@@ -947,8 +949,8 @@ def headline_vs_svgp_section(
             )
             + ".\n"
         )
-    if datasets is not None:
-        pass  # the rollup is a compact evidence table; no protocol narration
+    if datasets is not None or pls_model != "pls-onb":
+        pass  # rollup / variant tables are compact evidence; no narration
     elif is_map:
         out.append(
             "Root cause of the former gap (round-2 verdict): the reference\n"
@@ -1011,8 +1013,11 @@ def real_data_rollup_section() -> str:
         [
             "## REAL-data-only rollup (headline protocols, test split)\n",
             "Only datasets whose CSVs are real measured data (sklearn-bundled\n"
-            "UCI studies): regression `diabetes_sklearn`; classification\n"
-            "`breast_wdbc`, `digits_even`, `iris_binary`, `wine_uci`. The\n"
+            "UCI studies): regression "
+            + ", ".join(f"`{d}`" for d in REAL_DATASETS["regression"])
+            + ";\nclassification "
+            + ", ".join(f"`{d}`" for d in REAL_DATASETS["classification"])
+            + ". The\n"
             "synthetic stand-ins never enter these tables — this is the\n"
             "evidence that survives when the real UCI CSVs replace the\n"
             "stand-ins (`fetch_datasets.py` + checksums.json pins).\n",
@@ -1266,6 +1271,18 @@ def main() -> None:
         bench_section(),
         headline_vs_svgp_section("classification", ("nll", "acc", "auc", "f1")),
         headline_vs_svgp_section("regression", ("nll", "mse")),
+        # Student-T head-to-head at the same n=10 on-chip standard (round-4
+        # VERDICT #7): the heavy-tailed likelihood pair from the same sweep —
+        # PLS with the StudentTCost (reference `uci/regression/main.py:228-251`)
+        # vs SVGP with a Student-T variational likelihood, sharing each
+        # seed's split/kernel/inducing points with the Gaussian pair above.
+        headline_vs_svgp_section(
+            "regression",
+            ("nll", "mse"),
+            pls_model="pls-student-onb",
+            svgp_model="svgp-student",
+            title_suffix=" — Student-T likelihood variants",
+        ),
         real_data_rollup_section(),
     ]
     if headline_reg:
