@@ -691,3 +691,72 @@ def test_equilibrate_spread_extends_winning_chain():
     spread_eq = float(jnp.mean(jnp.var(out_eq, axis=1)))
     assert abs(spread_eq - spread_ref) / spread_ref > 0.05
     assert 0.0 < spread_eq < 10 * float(jnp.max(basis.eigenvalues))
+
+
+def test_poisson_study_section_renders_and_rolls_up(tmp_path, monkeypatch):
+    """poisson_study_section renders the paired head-to-head table from the
+    committed long CSV (results/poisson_study_long.csv), computes 2-sigma
+    paired verdicts per (curve, model, metric), and stays silent when the
+    CSV is absent (clean clone before the study runs)."""
+    import pandas as pd
+
+    from experiments import make_results_summary as mrs
+
+    monkeypatch.setattr(mrs, "ROOT", str(tmp_path))
+    assert mrs.poisson_study_section() == ""
+
+    rows = []
+    for seed in range(6):
+        for model, nll, rr in (
+            # pls-onb ~0.5 nats better with small per-seed spread -> pls sig
+            ("pls-onb", 1.0 + 0.01 * seed, 2.0 + 0.1 * seed),
+            ("pls-ipb", 1.5 + 0.02 * seed, 1.9 + 0.1 * seed),
+            ("svgp-gaussian", 1.5 + 0.02 * seed, 2.0 + 0.1 * seed),
+        ):
+            rows.append(dict(curve="curve1", seed=seed, model=model,
+                             metric="nll", split="test", value=nll))
+            rows.append(dict(curve="curve1", seed=seed, model=model,
+                             metric="rate_rmse", split="test", value=rr))
+            # train rows must be ignored by the section
+            rows.append(dict(curve="curve1", seed=seed, model=model,
+                             metric="nll", split="train", value=99.0))
+    (tmp_path / "results").mkdir()
+    pd.DataFrame(rows).to_csv(tmp_path / "results" / "poisson_study_long.csv",
+                              index=False)
+    s = mrs.poisson_study_section()
+    assert "curve1" in s and "rate_rmse" in s
+    assert "| -0.5250 (6, pls sig) " in s     # onb nll: mean -0.525 delta
+    assert "| +0.0000 (6, ns) " in s          # ipb nll tie (zero spread) is ns
+    assert "NLL 1 pls / 0 svgp" in s          # rollup counts pls-onb only
+    assert "99" not in s                      # train split never rendered
+
+
+def test_headline_section_model_pair_parameterised(tmp_path, monkeypatch):
+    """headline_vs_svgp_section(pls_model=..., svgp_model=...) compares the
+    requested variant pair (the Student-T head-to-head) and labels the table
+    columns with those names."""
+    from experiments import make_results_summary as mrs
+
+    def write(seed, model, value):
+        d = (
+            tmp_path / "experiments" / "uci" / "regression"
+            / "outputs_precond_map" / str(seed) / "results" / "ds" / model
+        )
+        d.mkdir(parents=True, exist_ok=True)
+        (d / "nll_test.csv").write_text(f"dataset,{model}\nds,{value}\n")
+
+    for seed in range(5):
+        write(seed, "pls-student-onb", 0.30 + 0.001 * seed)
+        write(seed, "svgp-student", 0.50 + 0.003 * seed)
+        # the default pair has the OPPOSITE ordering — proof the param matters
+        write(seed, "pls-onb", 0.9 + 0.001 * seed)
+        write(seed, "svgp", 0.1)
+    monkeypatch.setattr(mrs, "ROOT", str(tmp_path))
+    s = mrs.headline_vs_svgp_section(
+        "regression", ("nll",),
+        pls_model="pls-student-onb", svgp_model="svgp-student",
+    )
+    assert "| dataset | pls-student-onb | svgp-student |" in s
+    assert "**pls** (sig)" in s
+    default = mrs.headline_vs_svgp_section("regression", ("nll",))
+    assert "svgp (sig)" in default and "pls-student" not in default
