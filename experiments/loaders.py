@@ -7,6 +7,7 @@ model, no mid-run checkpoints — the Langevin run itself is seconds on TPU.
 
 from __future__ import annotations
 
+import os
 import pickle
 
 import jax
@@ -21,6 +22,20 @@ Array = jax.Array
 
 def _to_np(tree):
     return jax.tree.map(lambda leaf: np.asarray(leaf), tree)
+
+
+def _pickle_dump(path: str, obj) -> None:
+    """Atomic checkpoint write: serialise fully in memory FIRST (any
+    conversion error — e.g. a None model attribute — raises before the
+    target path is touched), then write a sibling tmp file and rename.
+    A crashed save can therefore never leave a truncated/empty pickle that
+    poisons the train-or-load existence check on the retry (observed: a
+    0-byte svgp-gaussian.pkl after a mid-save crash in the Poisson study)."""
+    payload = pickle.dumps(obj)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, path)
 
 
 def save_pls(
@@ -50,20 +65,19 @@ def save_pls(
         basis_tree = _to_np(
             basis.replace(additional_predictive_noise_distribution=None)
         )
-    with open(path, "wb") as f:
-        pickle.dump(
-            {
-                "particles": np.asarray(particles),
-                "observation_noise": None
-                if observation_noise is None
-                else float(np.asarray(observation_noise)),
-                "best_lr": best_lr,
-                "number_of_epochs": number_of_epochs,
-                "mean_constant": mean_constant,
-                "basis": basis_tree,
-            },
-            f,
-        )
+    _pickle_dump(
+        path,
+        {
+            "particles": np.asarray(particles),
+            "observation_noise": None
+            if observation_noise is None
+            else float(np.asarray(observation_noise)),
+            "best_lr": best_lr,
+            "number_of_epochs": number_of_epochs,
+            "mean_constant": mean_constant,
+            "basis": basis_tree,
+        },
+    )
 
 
 def load_pls(path: str, pls=None) -> tuple[Array, float | None, float | None, int]:
@@ -140,20 +154,19 @@ def _kernel_from_payload(p):
 
 
 def save_svgp(path: str, model: SVGP, losses: list[float] | None, best_learning_rate) -> None:
-    with open(path, "wb") as f:
-        pickle.dump(
-            {
-                "mean_constant": np.asarray(model.mean_constant),
-                "kernel": _kernel_payload(model.kernel),
-                "likelihood": _to_np(model.likelihood),
-                "x_induce": np.asarray(model.x_induce),
-                "variational_mean": np.asarray(model.variational_mean),
-                "variational_chol": np.asarray(model.variational_chol),
-                "losses": losses,
-                "best_learning_rate": best_learning_rate,
-            },
-            f,
-        )
+    _pickle_dump(
+        path,
+        {
+            "mean_constant": np.asarray(model.mean_constant),
+            "kernel": _kernel_payload(model.kernel),
+            "likelihood": _to_np(model.likelihood),
+            "x_induce": np.asarray(model.x_induce),
+            "variational_mean": np.asarray(model.variational_mean),
+            "variational_chol": np.asarray(model.variational_chol),
+            "losses": losses,
+            "best_learning_rate": best_learning_rate,
+        },
+    )
 
 
 def load_svgp(path: str, likelihood) -> tuple[SVGP, list[float] | None, float | None]:
@@ -183,19 +196,18 @@ def load_svgp(path: str, likelihood) -> tuple[SVGP, list[float] | None, float | 
 
 
 def save_ard_exact_gp_model(path: str, model: ExactGP, losses: list[float] | None) -> None:
-    with open(path, "wb") as f:
-        pickle.dump(
-            {
-                "mean_constant": np.asarray(model.mean_constant),
-                "lengthscales": np.asarray(model.kernel.lengthscales),
-                "outputscale": np.asarray(model.kernel.outputscale),
-                "noise": np.asarray(model.noise),
-                "x_train": np.asarray(model.x_train),
-                "y_train": np.asarray(model.y_train),
-                "losses": losses,
-            },
-            f,
-        )
+    _pickle_dump(
+        path,
+        {
+            "mean_constant": np.asarray(model.mean_constant),
+            "lengthscales": np.asarray(model.kernel.lengthscales),
+            "outputscale": np.asarray(model.kernel.outputscale),
+            "noise": np.asarray(model.noise),
+            "x_train": np.asarray(model.x_train),
+            "y_train": np.asarray(model.y_train),
+            "losses": losses,
+        },
+    )
 
 
 def load_ard_exact_gp_model(path: str) -> tuple[ExactGP, list[float] | None]:

@@ -149,3 +149,21 @@ def test_inducing_point_basis_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(fresh.predict(x=x, particles=loaded, key=0).mean), reference
     )
+
+
+def test_save_svgp_is_atomic_on_crash(tmp_path):
+    """A save that raises mid-serialisation (e.g. model=None after every
+    SVGP learning-rate candidate diverged) must leave NO file behind —
+    otherwise the train-or-load existence check loads a truncated pickle on
+    the retry (observed: 0-byte svgp-gaussian.pkl in the Poisson study)."""
+    import os
+
+    import pytest
+
+    from experiments.loaders import save_svgp
+
+    path = str(tmp_path / "svgp.pkl")
+    with pytest.raises(AttributeError):
+        save_svgp(path, None, None, None)
+    assert not os.path.exists(path)
+    assert os.listdir(tmp_path) == []  # no tmp litter either
