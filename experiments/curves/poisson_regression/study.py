@@ -210,19 +210,31 @@ def run_cell(curve_function, seed: int, config: dict, outputs_path: str) -> None
             early_stopper_patience=svgp_config["early_stopper_patience"],
             models_path=os.path.join(models_path, "svgp-kernel-iterations"),
         )
-        save_svgp(svgp_path, svgp, losses, best_learning_rate)
-    calculate_metrics(
-        model=svgp,
-        model_name="svgp-gaussian",
-        dataset_name=curve_name,
-        experiment_data=experiment_data,
-        results_path=results_path,
-        plots_path=plots_path,
-        coverage=config["metrics"]["coverage"] if "metrics" in config else 0.95,
-    )
-    rows.extend(
-        _oracle_rows("svgp-gaussian", svgp, None, experiment_data, curve_name, seed)
-    )
+        if svgp is not None:
+            save_svgp(svgp_path, svgp, losses, best_learning_rate)
+    if svgp is None:
+        # every learning-rate candidate diverged to non-finite parameters —
+        # record the PLS rows (already in ``rows``) and leave the svgp cells
+        # absent; the section renderer pairs on common seeds so a missing
+        # baseline never fabricates a delta
+        print(
+            f"[poisson-study] svgp-gaussian diverged at every learning rate "
+            f"({curve_name} seed={seed}) — skipping its rows",
+            flush=True,
+        )
+    else:
+        calculate_metrics(
+            model=svgp,
+            model_name="svgp-gaussian",
+            dataset_name=curve_name,
+            experiment_data=experiment_data,
+            results_path=results_path,
+            plots_path=plots_path,
+            coverage=config["metrics"]["coverage"] if "metrics" in config else 0.95,
+        )
+        rows.extend(
+            _oracle_rows("svgp-gaussian", svgp, None, experiment_data, curve_name, seed)
+        )
 
     # consolidate this cell's metric CSVs + oracle rows into the long CSV
     for model in ("pls-onb", "pls-ipb", "svgp-gaussian"):
@@ -277,10 +289,13 @@ def main() -> None:
         curve_function = CURVE_FUNCTIONS[curve_id - 1]
         curve_name = type(curve_function).__name__.lower()
         for seed in seeds:
+            # keyed on the PLS rows: a cell whose svgp baseline diverged (a
+            # deterministic outcome — retrying cannot change it) still counts
+            # as done, its svgp cells simply stay absent from the long CSV
             if done is not None and (
                 (done.curve == curve_name)
                 & (done.seed == seed)
-                & (done.model == "svgp-gaussian")
+                & (done.model == "pls-onb")
                 & (done.metric == "nll")
                 & (done.split == "test")
             ).any():

@@ -538,12 +538,22 @@ def train_svgp_runner(
                 mean_constant=mean_constant,
             )
             if model is None:
+                print(
+                    f"  [search {model_name}] lr={learning_rate:.3e} "
+                    "diverged (non-finite parameters)",
+                    flush=True,
+                )
                 continue
             # checkpoint records the CANDIDATE's own rate (best_learning_rate
             # is still None on the first candidate and stale on later ones)
             save_svgp(ckpt, model, losses, float(learning_rate))
         if not losses:
             continue
+        print(
+            f"  [search {model_name}] lr={learning_rate:.3e} "
+            f"epochs={len(losses)} loss0={losses[0]:.4g} lossN={losses[-1]:.4g}",
+            flush=True,
+        )
         losses_history[float(learning_rate)] = losses
         loss = losses[-1]
         if loss < best_loss:
