@@ -187,6 +187,15 @@ def run_cell(curve_function, seed: int, config: dict, outputs_path: str) -> None
     svgp_path = os.path.join(models_path, "svgp-gaussian.pkl")
     svgp_likelihood = GaussianLikelihood(noise=likelihood.noise)
     svgp_config = config["svgp"]
+    print(
+        f"  [svgp-gaussian inputs] noise={float(likelihood.noise):.6g} "
+        f"m0={float(mean_constant):.6g} "
+        f"y mean={float(np.mean(np.asarray(experiment_data.train.y))):.6g} "
+        f"std={float(np.std(np.asarray(experiment_data.train.y))):.6g} "
+        f"dtype={experiment_data.train.y.dtype} "
+        f"M={int(np.asarray(inducing_points.x).shape[0])}",
+        flush=True,
+    )
     if os.path.exists(svgp_path):
         svgp, _, _ = load_svgp(svgp_path, likelihood=svgp_likelihood)
     else:
