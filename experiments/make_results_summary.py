@@ -496,7 +496,9 @@ LOSS_ATTRIBUTION_TOGGLES = {
 }
 
 
-def loss_attribution_section(task: str = "classification", metric: str = "nll") -> str:
+def loss_attribution_section(
+    task: str = "classification", metric: str = "nll", lower_better: bool = True
+) -> str:
     """Round-4 attribution of the headline protocol's significant NLL losses
     (VERDICT #4): for every dataset where the headline paired-by-seed test
     says SVGP wins significantly, rerun the protocol with one ingredient
@@ -538,13 +540,18 @@ def loss_attribution_section(task: str = "classification", metric: str = "nll") 
             sig = abs(d.mean() / (d.std() / len(d) ** 0.5)) >= 2.0
         return d.mean(), (d.std() if len(d) > 1 else 0.0), len(d), sig
 
+    def svgp_favoured(dm: float) -> bool:
+        # delta = pls - svgp; for lower-better metrics (nll/mse) a POSITIVE
+        # delta favours svgp, for higher-better (acc/auc/f1) a NEGATIVE one
+        return dm > 0 if lower_better else dm < 0
+
     losses = []
     head_long = collect(head, "test")
     if head_long.empty:
         return ""
     for dataset in sorted(head_long["dataset"].unique()):
         r = paired(head, dataset)
-        if r is None or r[0] <= 0:
+        if r is None or not svgp_favoured(r[0]):
             continue
         # classification: only the SIGNIFICANT headline losses get the
         # attribution treatment; regression: any svgp-favouring mean delta
@@ -573,14 +580,18 @@ def loss_attribution_section(task: str = "classification", metric: str = "nll") 
                     complete = False
                 continue
             dm, dsd, n, sig = r
-            tag = "svgp sig" if (sig and dm > 0) else ("pls sig" if sig else "ns")
+            tag = (
+                "svgp sig"
+                if (sig and svgp_favoured(dm))
+                else ("pls sig" if sig else "ns")
+            )
             row.append(f"{dm:+.4f} +- {dsd:.4f} (n={n}, {tag})")
             if idx == 0:  # the headline column itself, not a toggle
                 continue
             if n < 5:  # partial ablation data — no verdict from this column
                 thin.append(label)
                 complete = False
-            elif not (sig and dm > 0):
+            elif not (sig and svgp_favoured(dm)):
                 flipped.append(label)
         lines.append(f"| {dataset} | " + " | ".join(row) + " |")
         if flipped:
@@ -607,8 +618,13 @@ def loss_attribution_section(task: str = "classification", metric: str = "nll") 
             "Each column reruns the full protocol with one ingredient\n"
             "toggled on the SAME pinned data, reusing the headline sweep's\n"
             "cached splits, subsample-GP kernels and SVGP checkpoints\n"
-            "(`run_r4_ablation.sh`); negative deltas favour PLS. 2-sigma\n"
-            "paired-by-seed t verdict in each cell.\n",
+            "(`run_r4_ablation.sh`); "
+            + (
+                "negative deltas favour PLS"
+                if lower_better
+                else f"POSITIVE deltas favour PLS ({metric} is higher-better)"
+            )
+            + ". 2-sigma\npaired-by-seed t verdict in each cell.\n",
             *lines,
             "",
             *verdicts,
@@ -1352,6 +1368,10 @@ def main() -> None:
         ablation_section(),
         ablation_section("regression"),
         loss_attribution_section(),
+        # the remaining significant classification loss is on ACCURACY
+        # (mushrooms, paired t=-2.7 at n=10) — nll there is ns, so the acc
+        # attribution table is where the round-5 eq toggle reports
+        loss_attribution_section("classification", metric="acc", lower_better=False),
         loss_attribution_section("regression"),
         nystrom_section(),
         _snapshot("curves_regression", curves_section()),

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from projected_langevin_sampling_tpu.models.distributions import MultivariateNormal
 from projected_langevin_sampling_tpu.ops.kernels import ARDKernel
+from projected_langevin_sampling_tpu.ops.linalg import psd_safe_cholesky
 
 Array = jax.Array
 
@@ -54,11 +55,11 @@ class SVGP:
         return max(self.jitter, floor)
 
     def _chol_kzz(self) -> Array:
-        m = self.num_inducing
+        # escalating-jitter factorisation (gpytorch's psd_safe_cholesky retry
+        # loop): the fp32 floor alone is not enough on CPU LAPACK for
+        # ill-conditioned K_zz (ops/linalg.py:psd_safe_cholesky)
         k_zz = self.kernel(self.x_induce, self.x_induce)
-        return jnp.linalg.cholesky(
-            k_zz + self._effective_jitter(k_zz.dtype) * jnp.eye(m, dtype=k_zz.dtype)
-        )
+        return psd_safe_cholesky(k_zz, self._effective_jitter(k_zz.dtype))
 
     def latent(self, x: Array) -> MultivariateNormal:
         """q(f(x)) marginals: mean = m0 + A v_mean, var = k_xx - rowsum(A^2) +
@@ -142,8 +143,8 @@ def titsias_optimal_svgp(svgp: SVGP, x_train: Array, y_train: Array) -> SVGP:
     k_zz = svgp.kernel(svgp.x_induce, svgp.x_induce)
     k_zx = svgp.kernel(svgp.x_induce, x_train)
     jit = svgp._effective_jitter(k_zz.dtype)
-    a = k_zz + (k_zx @ k_zx.T) / sigma2 + jit * jnp.eye(m, dtype=k_zz.dtype)
-    chol_a = jnp.linalg.cholesky(a)
+    a = k_zz + (k_zx @ k_zx.T) / sigma2
+    chol_a = psd_safe_cholesky(a, jit)
     resid = y_train - svgp.mean_constant
     sigma_kzx_y = jax.scipy.linalg.cho_solve((chol_a, True), k_zx @ resid) / sigma2
     m_u = k_zz @ sigma_kzx_y
@@ -152,7 +153,7 @@ def titsias_optimal_svgp(svgp: SVGP, x_train: Array, y_train: Array) -> SVGP:
     # whiten: v = L^{-1} m_u, C = L^{-1} chol(S_u)
     chol_kzz = svgp._chol_kzz()
     v_mean = jax.scipy.linalg.solve_triangular(chol_kzz, m_u, lower=True)
-    s_u = 0.5 * (s_u + s_u.T) + jit * jnp.eye(m, dtype=s_u.dtype)
-    chol_s = jnp.linalg.cholesky(s_u)
+    s_u = 0.5 * (s_u + s_u.T)
+    chol_s = psd_safe_cholesky(s_u, jit)
     c = jax.scipy.linalg.solve_triangular(chol_kzz, chol_s, lower=True)
     return svgp.replace(variational_mean=v_mean, variational_chol=c)

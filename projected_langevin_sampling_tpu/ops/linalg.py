@@ -104,6 +104,33 @@ def cholesky_solve(chol: Array, rhs: Array) -> Array:
     return jax.scipy.linalg.solve_triangular(chol.T, y, lower=False)
 
 
+def psd_safe_cholesky(matrix: Array, base_jitter: float, max_tries: int = 3) -> Array:
+    """JIT-SAFE escalating-jitter lower Cholesky — gpytorch's
+    ``psd_safe_cholesky`` retry loop (jitter × 10 per attempt, 3 retries)
+    expressed as data flow: every candidate factorisation is computed and the
+    first finite one is selected. The first candidate uses ``base_jitter``
+    exactly, so inputs that never needed escalation are bit-identical to a
+    plain ``cholesky(A + base_jitter I)``.
+
+    Why it exists: CPU LAPACK ``spotrf`` NaNs on borderline-PSD fp32 inputs
+    that the TPU's blocked algorithm happens to survive — observed on the
+    Poisson-study K_zz (diag ~86, cond ~1e8: the 1e-6 fp32 floor NaNs, 1e-5
+    factorises), which silently killed every SVGP learning-rate candidate on
+    the CPU backend while the same protocol trained fine on the chip.
+
+    Cost: ``max_tries`` extra M^3/3 factorisations; loop-invariant under a
+    frozen kernel (XLA hoists them out of the training scan).
+    """
+    m = matrix.shape[-1]
+    eye = jnp.eye(m, dtype=matrix.dtype)
+    chol = jnp.linalg.cholesky(matrix + base_jitter * eye)
+    for k in range(1, max_tries + 1):
+        candidate = jnp.linalg.cholesky(matrix + (base_jitter * 10.0**k) * eye)
+        bad = ~jnp.all(jnp.isfinite(chol))
+        chol = jnp.where(bad, candidate, chol)
+    return chol
+
+
 def robust_cholesky(matrix: Array, max_tries: int = 6, initial_jitter: float | None = None):
     """Cholesky with escalating jitter, mirroring gpytorch's psd_safe_cholesky
     behaviour that the reference leans on implicitly via ``gpytorch.solve``.

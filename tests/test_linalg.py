@@ -96,3 +96,45 @@ def test_robust_cholesky_failure_reports_tried_jitter():
     # largest TRIED), not the never-attempted next escalation 1e-3
     reported = float(str(err.value).rsplit("=", 1)[1])
     assert reported == pytest.approx(1e-4, rel=1e-6)
+
+
+def test_psd_safe_cholesky_escalates_and_preserves_first_candidate():
+    """psd_safe_cholesky must (a) be bit-identical to a plain jittered
+    cholesky on well-conditioned input, (b) recover a finite factor on a
+    matrix whose base-jitter factorisation NaNs in fp32 (the Poisson-study
+    K_zz failure: cond ~1e8, diag ~86 — CPU LAPACK NaNs at 1e-6, 1e-5
+    factorises), and (c) work under jit."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from projected_langevin_sampling_tpu.ops.linalg import psd_safe_cholesky
+
+    # (a) well-conditioned: identical to the single-attempt factorisation
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(8, 8))
+    good = jnp.asarray(a @ a.T + 8 * np.eye(8), dtype=jnp.float32)
+    expected = jnp.linalg.cholesky(good + 1e-6 * jnp.eye(8, dtype=good.dtype))
+    np.testing.assert_array_equal(
+        np.asarray(psd_safe_cholesky(good, 1e-6)), np.asarray(expected)
+    )
+
+    # (b) borderline: eigenvalues spanning ~1e8 with a large diagonal, like
+    # the squared-spectrum PLS r-kernel K_zz. Construct Q diag(ev) Q^T in
+    # fp64, cast to fp32 — the rounding makes the base attempt indefinite.
+    q, _ = np.linalg.qr(rng.normal(size=(24, 24)))
+    ev = np.geomspace(3e-6, 400.0, 24)
+    bad = jnp.asarray(q @ np.diag(ev) @ q.T, dtype=jnp.float32)
+    base = jnp.linalg.cholesky(bad + 1e-6 * jnp.eye(24, dtype=bad.dtype))
+    safe = psd_safe_cholesky(bad, 1e-6)
+    assert bool(jnp.all(jnp.isfinite(safe)))
+    recon = np.asarray(safe) @ np.asarray(safe).T
+    np.testing.assert_allclose(recon, np.asarray(bad), atol=2e-2, rtol=1e-3)
+    if bool(jnp.all(jnp.isfinite(base))):
+        # platform factorised the base attempt (TPU's blocked algorithm
+        # does): the safe version must then have used it verbatim
+        np.testing.assert_array_equal(np.asarray(safe), np.asarray(base))
+
+    # (c) under jit
+    jitted = jax.jit(lambda mat: psd_safe_cholesky(mat, 1e-6))(bad)
+    np.testing.assert_array_equal(np.asarray(jitted), np.asarray(safe))
