@@ -1036,7 +1036,12 @@ def real_data_rollup_section() -> str:
             + ". The\n"
             "synthetic stand-ins never enter these tables — this is the\n"
             "evidence that survives when the real UCI CSVs replace the\n"
-            "stand-ins (`fetch_datasets.py` + checksums.json pins).\n",
+            "stand-ins (`fetch_datasets.py` + checksums.json pins).\n"
+            "The canonical pair (pls-onb vs svgp) is shown; on the\n"
+            "heavy-tailed pair from the same sweep (pls-student-onb vs\n"
+            "svgp-student, Student-T head-to-head section above),\n"
+            "`diabetes_sklearn` favours PLS on nll (ns) and significantly\n"
+            "on mse.\n",
             *parts,
             "",
         ]
