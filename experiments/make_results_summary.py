@@ -630,7 +630,58 @@ def loss_attribution_section(
             *verdicts,
             "",
             _gap_mechanism_paragraphs(losses) if task == "classification" else "",
+            _toggle_mechanism_paragraphs(losses) if task == "classification" else "",
         ]
+    )
+
+
+def _toggle_mechanism_paragraphs(datasets: list[str]) -> str:
+    """At-scale mechanism evidence from the TOGGLE trees' probe CSVs
+    (``results/gap_attribution_eq.csv`` / ``_t2.csv``, written by running
+    ``analyse_gap.py --outputs_dirname outputs_precond_smooth_eq`` etc.
+    against the round-5 basis-carrying checkpoints). Unlike the headline
+    probe (seed 0 only — the headline trees predate the basis-carrying
+    format and were wiped by the VM reset), the toggle trees were trained
+    this round, so every seed probes validly from any backend: this is the
+    n=10 validation of the latent-variance mechanism the round-4 verdict
+    asked for. Only validated rows count."""
+    out = []
+    for tag, label in (("eq", "spread-equilibration"), ("t2", "T=2 (4x chain)")):
+        path = os.path.join(ROOT, "results", f"gap_attribution_{tag}.csv")
+        if not os.path.exists(path):
+            continue
+        df = pd.read_csv(path)
+        df = df[df["validated"] == True]  # noqa: E712
+        for dataset in datasets:
+            sel = df[df["dataset"] == dataset]
+            if sel.empty:
+                continue
+            n = len(sel)
+            lv, pv, nv = (
+                sel["pls_latent_var"].mean(),
+                sel["pls_proj_var"].mean(),
+                sel["pls_noise_var"].mean(),
+            )
+            sv = sel["svgp_latent_var"].mean()
+            dnll = (sel["pls_nll_extended"] - sel["pls_nll"]).mean()
+            out.append(
+                f"- `{dataset}` under **{label}** (n={n} validated seeds): "
+                f"latent var {lv:.2f} = {pv:.2f} (projection) + {nv:.2f} "
+                f"(injected prior residual) vs SVGP {sv:.2f}; continuing the "
+                f"selected chain moves test NLL by {dnll:+.4f} on average — "
+                + (
+                    "the chains are at their stationary law; the residual "
+                    "spread (and any residual loss) is the posterior "
+                    "family's, not under-convergence."
+                    if abs(dnll) < 5e-3
+                    else "the stopping rule still fires early at this "
+                    "configuration (under-convergence persists)."
+                )
+            )
+    if not out:
+        return ""
+    return "\n".join(
+        ["### Mechanism at scale (toggle-tree probes, all seeds validated)\n", *out, ""]
     )
 
 
