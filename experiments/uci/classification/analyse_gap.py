@@ -302,6 +302,17 @@ def main() -> None:
     )
     parser.add_argument("--report", default=os.path.join(ROOT, "results", "gap_attribution.md"))
     parser.add_argument(
+        "--tolerance",
+        type=float,
+        default=1e-3,
+        help="validation-gate tolerance in nats. The default catches the "
+        "cross-backend basis scramble (errors ~2.4 nats) with a huge "
+        "margin; probing CHIP-trained checkpoints from the CPU backend "
+        "needs ~0.02 — the recomputed predictive differs by the TPU-vs-CPU "
+        "matmul path (bf16 MXU operands) at the ~MC-noise level, far below "
+        "the failure mode the gate exists for",
+    )
+    parser.add_argument(
         "--resave",
         action="store_true",
         help="upgrade each VALIDATED old-format checkpoint to the basis-"
@@ -368,7 +379,7 @@ def main() -> None:
                 continue
             r["pls_nll_committed"] = _committed_nll(dataset, seed, "pls-onb")
             r["svgp_nll_committed"] = _committed_nll(dataset, seed, "svgp")
-            tol = 1e-3  # recompute formula matches the sweep to ~1e-7 when
+            tol = args.tolerance  # recompute matches the sweep to ~1e-7 when
             # the basis matches; a scrambled basis misses by whole nats
             r["validated"] = bool(
                 abs(r["pls_nll"] - r["pls_nll_committed"]) <= tol
