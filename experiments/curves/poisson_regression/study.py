@@ -57,6 +57,7 @@ from projected_langevin_sampling_tpu.models.gaussian_process import (
     GaussianLikelihood,
 )
 from projected_langevin_sampling_tpu.models.link_functions import SquareLinkFunction
+from projected_langevin_sampling_tpu.models.mean_constant import fit_mean_constant_map
 from projected_langevin_sampling_tpu.models.pls import PLS
 
 ROOT = os.path.dirname(
@@ -138,8 +139,22 @@ def run_cell(curve_function, seed: int, config: dict, outputs_path: str) -> None
         y_induce=inducing_points.y,
         x_train=experiment_data.train.x,
     )
+    # HEADLINE-STACK analogue (the UCI protocols' mean_constant=map): without
+    # a prior mean the square-link rate reverts to f^2 -> 0 on the held-out
+    # interval, so extrapolative test NLL explodes (the reference's own
+    # committed numbers show the same collapse — RESULTS.md curve-Poisson
+    # table); SVGP meanwhile reverts to its TRAINED ConstantMean. m0 gives
+    # PLS the same single empirical-Bayes scalar (models/mean_constant.py;
+    # sqrt-mean-count start because the square link is singular at f=0).
+    m0 = fit_mean_constant_map(
+        basis=onb_basis,
+        cost=cost,
+        initial_constant=float(np.sqrt(float(np.mean(np.asarray(experiment_data.train.y))) + 0.5)),
+    )
+    print(f"  [mean-constant map] m0={m0:.4f} (rate reversion {m0 * m0:.3f})", flush=True)
     models = {
         "pls-onb": PLS(basis=onb_basis, cost=cost),
+        "pls-onb-m0": PLS(basis=onb_basis.replace(mean_constant=m0), cost=cost),
         "pls-ipb": PLS(basis=ipb_basis, cost=cost),
     }
     rows = []
@@ -246,7 +261,7 @@ def run_cell(curve_function, seed: int, config: dict, outputs_path: str) -> None
         )
 
     # consolidate this cell's metric CSVs + oracle rows into the long CSV
-    for model in ("pls-onb", "pls-ipb", "svgp-gaussian"):
+    for model in ("pls-onb", "pls-onb-m0", "pls-ipb", "svgp-gaussian"):
         for split in ("train", "test"):
             for metric in ("nll", "mse", "mae"):
                 f = os.path.join(results_path, model, f"{metric}_{split}.csv")
@@ -304,7 +319,7 @@ def main() -> None:
             if done is not None and (
                 (done.curve == curve_name)
                 & (done.seed == seed)
-                & (done.model == "pls-onb")
+                & (done.model == "pls-onb-m0")
                 & (done.metric == "nll")
                 & (done.split == "test")
             ).any():

@@ -43,6 +43,7 @@ def fit_mean_constant_map(
     newton_iterations: int = 60,
     damping: float = 1e-8,
     gradient_tolerance: float = 1e-6,
+    initial_constant: float = 0.0,
 ) -> float:
     """MAP-optimal prior mean constant for ``basis``/``cost``.
 
@@ -117,12 +118,16 @@ def fit_mean_constant_map(
         h = hess_diag_f(f)
         return b_aug.T @ (h[:, None] * b_aug) + prior_block
 
-    w = jnp.zeros(m_k + 1, dtype=dtype)
+    # ``initial_constant``: costs whose link is singular at f=0 (the Poisson
+    # SQUARE link: -2 y log|f| -> +inf) need a nonzero start; e.g. pass
+    # sqrt(mean counts) so the start reverts to the empirical mean rate.
+    w = jnp.zeros(m_k + 1, dtype=dtype).at[0].set(initial_constant)
     value, grad = value_and_grad(w)
     if not bool(jnp.isfinite(value)):
         raise ValueError(
-            "fit_mean_constant_map: objective is non-finite at the zero "
-            "start — the cost/label configuration is invalid"
+            "fit_mean_constant_map: objective is non-finite at the "
+            f"m0={initial_constant} start — the cost/label configuration is "
+            "invalid (links singular at f=0 need a nonzero initial_constant)"
         )
     eye = jnp.eye(m_k + 1, dtype=dtype)
     for _ in range(newton_iterations):

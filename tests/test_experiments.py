@@ -708,8 +708,9 @@ def test_poisson_study_section_renders_and_rolls_up(tmp_path, monkeypatch):
     rows = []
     for seed in range(6):
         for model, nll, rr in (
-            # pls-onb ~0.5 nats better with small per-seed spread -> pls sig
+            # pls-onb(+m0) ~0.5 nats better with small per-seed spread -> sig
             ("pls-onb", 1.0 + 0.01 * seed, 2.0 + 0.1 * seed),
+            ("pls-onb-m0", 1.0 + 0.01 * seed, 2.0 + 0.1 * seed),
             ("pls-ipb", 1.5 + 0.02 * seed, 1.9 + 0.1 * seed),
             ("svgp-gaussian", 1.5 + 0.02 * seed, 2.0 + 0.1 * seed),
         ):

@@ -472,3 +472,35 @@ def test_fit_mean_constant_map_nonfinite_start_raises():
     )
     with pytest.raises(ValueError, match="non-finite"):
         fit_mean_constant_map(basis=basis, cost=bad)
+
+
+def test_fit_mean_constant_map_poisson_square_link():
+    """The Poisson SQUARE link is singular at f=0 (-2 y log|f|): the zero
+    start must fail loudly, and a nonzero ``initial_constant`` (sqrt of the
+    mean count — reverting to the empirical mean rate) must converge to an
+    m0 whose squared value tracks the mean rate of the data."""
+    from projected_langevin_sampling_tpu.models.costs import PoissonCost
+    from projected_langevin_sampling_tpu.models.link_functions import (
+        SquareLinkFunction,
+    )
+    from projected_langevin_sampling_tpu.models.mean_constant import (
+        fit_mean_constant_map,
+    )
+
+    rng = np.random.default_rng(0)
+    x, _, kernel, z = _data()
+    basis = _onb(kernel, z, x)
+    n = x.shape[0]
+    y = jnp.asarray(rng.poisson(6.0, size=n).astype(np.float64))
+    cost = PoissonCost(y_train=y, link_function=SquareLinkFunction())
+
+    with pytest.raises(ValueError, match="non-finite"):
+        fit_mean_constant_map(basis=basis, cost=cost)
+
+    m0 = fit_mean_constant_map(
+        basis=basis, cost=cost,
+        initial_constant=float(np.sqrt(float(y.mean()) + 0.5)),
+    )
+    assert np.isfinite(m0)
+    # rate reverts to ~ the empirical mean count at the prior mean
+    assert abs(m0**2 - float(y.mean())) / float(y.mean()) < 0.5
