@@ -491,6 +491,7 @@ LOSS_ATTRIBUTION_TOGGLES = {
         ("outputs_precond_smooth_j1000", "headline, J=1000"),
         ("outputs_precond_smooth_t2", "headline, T=2 (4x chain)"),
         ("outputs_precond_smooth_eq", "headline + spread-equilibration phase"),
+        ("outputs_precond_smooth_eqt2", "headline + eq AND T=2 (composed)"),
     ),
     # round-5 lever sweep on the real regression row (diabetes_sklearn):
     # the toggle dirs train the PLS models only — the SVGP section of the

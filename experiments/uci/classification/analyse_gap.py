@@ -168,6 +168,43 @@ def _recalibrate(p_val, y_val, p_tgt):
     return 1 / (1 + np.exp(-(a * zt + b))), a, b
 
 
+_TEMPER_GRID = np.sort(np.append(np.geomspace(0.05, 3.0, 61), 1.0))
+_GH32_X, _GH32_W = np.polynomial.hermite.hermgauss(32)
+
+
+def _temper_pls(f_val, y_val, f_test, y_test):
+    """Validation-fit LATENT SPREAD temper for the particle predictive — the
+    classification analogue of the reference temper layer (ref
+    ``src/temper/base.py``: scale the predictive variance by a scalar fit on
+    the calibration NLL). Each latent sample is contracted toward the
+    per-point particle mean, f_j -> f_bar + s (f_j - f_bar), with s chosen
+    on validation; s=1 is in the grid so tempering never loses on the
+    calibration split. Unlike ``_recalibrate`` (a probability-space
+    transform), this targets ONLY dispersion: if tempering closes a gap the
+    gap was excess latent spread and nothing else."""
+
+    def nll_at(f, y, s):
+        fm = f.mean(axis=1, keepdims=True)
+        p = 1.0 / (1.0 + np.exp(-(fm + s * (f - fm))))
+        return _nll(p.mean(axis=1), y)
+
+    s_best = min(_TEMPER_GRID, key=lambda s: nll_at(f_val, y_val, s))
+    return nll_at(f_test, y_test, s_best), float(s_best)
+
+
+def _temper_svgp(mu_v, var_v, y_v, mu_t, var_t, y_t):
+    """Same spread temper for the SVGP latent Gaussian: q(f) = N(mu, s^2
+    sigma^2), predictive via 32-node Gauss-Hermite."""
+
+    def nll_at(mu, var, y, s):
+        z = mu[:, None] + np.sqrt(2.0 * np.maximum(var, 1e-12))[:, None] * s * _GH32_X[None, :]
+        p = (1.0 / (1.0 + np.exp(-z)) * _GH32_W[None, :]).sum(axis=1) / np.sqrt(np.pi)
+        return _nll(p, y)
+
+    s_best = min(_TEMPER_GRID, key=lambda s: nll_at(mu_v, var_v, y_v, s))
+    return nll_at(mu_t, var_t, y_t, s_best), float(s_best)
+
+
 def analyse(base: str, dataset: str, seed: int, config: dict) -> tuple[dict, dict]:
     """Returns (probe row, resave context) — the context carries what
     ``--resave`` needs to upgrade a VALIDATED old-format checkpoint to the
@@ -254,6 +291,28 @@ def analyse(base: str, dataset: str, seed: int, config: dict) -> tuple[dict, dic
             np.mean(np.abs(np.mean(f_samples, axis=1) - np.asarray(mu_s)))
         ),
     )
+
+    # spread-temper probe (both models, validation-fit): contracts ONLY the
+    # latent dispersion. pls_nll_temper ~= svgp_nll_temper says the entire
+    # residual gap is the particle cloud's excess spread (what the temper
+    # layer removes); a surviving tempered gap would point at the mean field
+    if val is not None and val.x is not None and len(np.asarray(val.y)) >= 10:
+        yv = np.asarray(val.y, dtype=float)
+        f_val = np.asarray(
+            pls.predict_untransformed_samples(particles=particles, x=val.x, key=0)
+        )
+        pls_t, s_p = _temper_pls(f_val, yv, f_samples, y)
+        q_v = svgp.latent(val.x)
+        svgp_t, s_s = _temper_svgp(
+            np.asarray(q_v.mean), np.asarray(q_v.variance), yv,
+            np.asarray(mu_s), np.asarray(var_s), y,
+        )
+        out.update(
+            pls_nll_temper=pls_t,
+            pls_temper_s=s_p,
+            svgp_nll_temper=svgp_t,
+            svgp_temper_s=s_s,
+        )
 
     # continued-sampling probe: extend the chain from the checkpoint at its
     # winning step size — if the spread contracts and the NLL drops, the gap
@@ -452,7 +511,8 @@ def main() -> None:
             "pls_nll_recal", "svgp_nll_recal", "tail_share_5pct",
             "pls_conf", "svgp_conf", "pls_latent_var", "pls_proj_var",
             "pls_noise_var", "svgp_latent_var", "pls_nll_extended",
-            "pls_proj_var_extended",
+            "pls_proj_var_extended", "pls_nll_temper", "pls_temper_s",
+            "svgp_nll_temper", "svgp_temper_s",
         ]
         cols = [c for c in cols if c in sub.columns]
         lines.append(sub[cols].round(4).to_markdown(index=False))
@@ -466,6 +526,13 @@ def main() -> None:
             summary += (
                 f"; recalibrated delta "
                 f"{mean['pls_nll_recal'] - mean['svgp_nll_recal']:+.4f}"
+            )
+        if "pls_nll_temper" in sub.columns:
+            summary += (
+                f"; spread-tempered delta "
+                f"{mean['pls_nll_temper'] - mean['svgp_nll_temper']:+.4f}"
+                f" (s_pls={mean['pls_temper_s']:.2f},"
+                f" s_svgp={mean['svgp_temper_s']:.2f})"
             )
         summary += (
             f"; latent var pls/svgp = "
