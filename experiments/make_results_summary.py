@@ -656,7 +656,11 @@ def _toggle_mechanism_paragraphs(datasets: list[str]) -> str:
     n=10 validation of the latent-variance mechanism the round-4 verdict
     asked for. Only validated rows count."""
     out = []
-    for tag, label in (("eq", "spread-equilibration"), ("t2", "T=2 (4x chain)")):
+    for tag, label in (
+        ("eq", "spread-equilibration"),
+        ("t2", "T=2 (4x chain)"),
+        ("eqt2", "eq AND T=2 (composed)"),
+    ):
         path = os.path.join(ROOT, "results", f"gap_attribution_{tag}.csv")
         if not os.path.exists(path):
             continue
@@ -674,7 +678,7 @@ def _toggle_mechanism_paragraphs(datasets: list[str]) -> str:
             )
             sv = sel["svgp_latent_var"].mean()
             dnll = (sel["pls_nll_extended"] - sel["pls_nll"]).mean()
-            out.append(
+            line = (
                 f"- `{dataset}` under **{label}** (n={n} validated seeds): "
                 f"latent var {lv:.2f} = {pv:.2f} (projection) + {nv:.2f} "
                 f"(injected prior residual) vs SVGP {sv:.2f}; continuing the "
@@ -688,6 +692,23 @@ def _toggle_mechanism_paragraphs(datasets: list[str]) -> str:
                     "configuration (under-convergence persists)."
                 )
             )
+            if "pls_nll_temper" in sel.columns and sel["pls_nll_temper"].notna().any():
+                ts = sel.dropna(subset=["pls_nll_temper", "svgp_nll_temper"])
+                td = (ts["pls_nll_temper"] - ts["svgp_nll_temper"]).mean()
+                line += (
+                    f" Spread-tempered (validation-fit dispersion scaling on "
+                    f"BOTH models, s_pls={ts['pls_temper_s'].mean():.2f} vs "
+                    f"s_svgp={ts['svgp_temper_s'].mean():.2f}): paired delta "
+                    f"{td:+.4f}"
+                    + (
+                        " — the tempered predictives are equivalent; the "
+                        "entire residual gap is the dispersion the temper "
+                        "layer removes."
+                        if abs(td) < 5e-3
+                        else "."
+                    )
+                )
+            out.append(line)
     if not out:
         return ""
     return "\n".join(
