@@ -581,13 +581,13 @@ def loss_attribution_section(
     verdicts = []
     for dataset in losses:
         row = []
-        flipped, thin, complete = [], [], True
+        flipped, thin, measured = [], [], 0
         for idx, (dirname, label) in enumerate(toggles):
             r = paired(os.path.join(base, dirname), dataset)
             if r is None:
                 row.append("—")
                 if idx > 0:
-                    complete = False
+                    thin.append(label)
                 continue
             dm, dsd, n, sig = r
             tag = (
@@ -600,21 +600,27 @@ def loss_attribution_section(
                 continue
             if n < 5:  # partial ablation data — no verdict from this column
                 thin.append(label)
-                complete = False
             elif not (sig and svgp_favoured(dm)):
+                measured += 1
                 flipped.append(label)
+            else:
+                measured += 1
         lines.append(f"| {dataset} | " + " | ".join(row) + " |")
+        unmeasured_note = (
+            f" (unmeasured/partial toggles: {', '.join(thin)})" if thin else ""
+        )
         if flipped:
             verdicts.append(
                 f"- `{dataset}`: the significant loss disappears under "
                 + " and under ".join(f"**{f}**" for f in flipped)
                 + " — attributed to those protocol ingredients, not to the sampler."
             )
-        elif complete:
+        elif measured >= 3:
             verdicts.append(
-                f"- `{dataset}`: the loss survives every measured toggle — a "
-                "robust gap between the particle predictive and SVGP's "
-                "variational family on this dataset, not a protocol artifact."
+                f"- `{dataset}`: the loss survives every measured toggle "
+                f"({measured} at n>=5) — a robust gap between the particle "
+                "predictive and SVGP's variational family on this dataset, "
+                "not a protocol artifact." + unmeasured_note
             )
         else:
             verdicts.append(
