@@ -72,6 +72,33 @@ parser.add_argument("--config_path", type=str, required=True)
 parser.add_argument("--curves", type=str, default=",".join(str(i + 1) for i in range(len(CURVE_FUNCTIONS))))
 parser.add_argument("--seeds", type=str, default="0,1,2,3,4,5,6,7,8,9")
 parser.add_argument("--outputs_dirname", type=str, default="outputs_study")
+parser.add_argument(
+    "--models",
+    type=str,
+    default="pls-onb,pls-onb-m0,pls-ipb,svgp-gaussian",
+    help="comma list; per-model committed rows self-skip, so e.g. "
+    "'--models pls-onb-hs' back-fills the production-protocol variant into "
+    "cells whose reference-protocol rows are already committed",
+)
+
+# Production-protocol PLS variant ("pls-onb-hs"): the reference's Poisson
+# config is a PLOTS-ONLY DEMO — simulation_duration 0.1 with
+# early_stopper_patience 1e-3 stops every chain at the first energy plateau
+# (~3k steps), long before the data term can pull the rate toward the
+# counts (train rate mean ~22 vs y mean ~3 on curve1; the committed
+# reference-protocol rows in results/poisson_study_long.csv record exactly
+# that). This variant trains the SAME model under the UCI-grade budget
+# (the headline protocols' duration/patience shape,
+# uci/classification/config_precond_smooth.yaml) — measuring what the
+# Poisson cost delivers when trained like production, against the same
+# SVGP-Gaussian baseline.
+HS_RECIPE = dict(
+    simulation_duration=0.5,
+    early_stopper_patience=100.0,  # sim-time units: never fires before T
+    maximum_number_of_steps=1_000_000,
+    number_of_step_searches=4,
+    step_size_upper=1.0e-3,
+)
 
 
 def _point_rate(model, particles, x):
@@ -95,7 +122,12 @@ def _merge_rows(rows: list[dict]) -> None:
     )
 
 
-def run_cell(curve_function, seed: int, config: dict, outputs_path: str) -> None:
+def run_cell(
+    curve_function, seed: int, config: dict, outputs_path: str,
+    models_requested: tuple[str, ...] = (
+        "pls-onb", "pls-onb-m0", "pls-ipb", "svgp-gaussian",
+    ),
+) -> None:
     curve_name = type(curve_function).__name__.lower()
     data_config = config["data"]
     experiment_data = get_experiment_data(
@@ -157,6 +189,13 @@ def run_cell(curve_function, seed: int, config: dict, outputs_path: str) -> None
         "pls-onb-m0": PLS(basis=onb_basis.replace(mean_constant=m0), cost=cost),
         "pls-ipb": PLS(basis=ipb_basis, cost=cost),
     }
+    if "pls-onb-hs" in models_requested:
+        # production-protocol variant: same basis family + m0, trained under
+        # the UCI-grade budget (HS_RECIPE) instead of the demo schedule
+        models["pls-onb-hs"] = PLS(
+            basis=onb_basis.replace(mean_constant=m0), cost=cost
+        )
+    models = {n: m for n, m in models.items() if n in models_requested}
     rows = []
     for name, pls in models.items():
         pls_path = os.path.join(models_path, f"{name}.pkl")
@@ -168,21 +207,24 @@ def run_cell(curve_function, seed: int, config: dict, outputs_path: str) -> None
                 noise_only=pls_config["initial_particles_noise_only"],
                 seed=pls_config["seed"],
             )
+            schedule = dict(pls_config)
+            if name == "pls-onb-hs":
+                schedule.update(HS_RECIPE)
             particles, best_lr, n_epochs = train_pls_runner(
                 pls=pls,
                 particle_name=name,
                 experiment_data=experiment_data,
-                simulation_duration=pls_config["simulation_duration"],
-                maximum_number_of_steps=int(pls_config["maximum_number_of_steps"]),
-                early_stopper_patience=pls_config["early_stopper_patience"],
-                number_of_step_searches=pls_config["number_of_step_searches"],
-                step_size_upper=pls_config["step_size_upper"],
-                minimum_change_in_energy_potential=pls_config[
+                simulation_duration=schedule["simulation_duration"],
+                maximum_number_of_steps=int(schedule["maximum_number_of_steps"]),
+                early_stopper_patience=schedule["early_stopper_patience"],
+                number_of_step_searches=schedule["number_of_step_searches"],
+                step_size_upper=schedule["step_size_upper"],
+                minimum_change_in_energy_potential=schedule[
                     "minimum_change_in_energy_potential"
                 ],
-                seed=pls_config["seed"],
+                seed=schedule["seed"],
                 particles=particles,
-                metric_to_optimise=pls_config["metric_to_optimise"],
+                metric_to_optimise=schedule["metric_to_optimise"],
             )
             save_pls(pls_path, particles, None, best_lr, n_epochs, basis=pls.basis)
         calculate_metrics(
@@ -199,69 +241,70 @@ def run_cell(curve_function, seed: int, config: dict, outputs_path: str) -> None
             _oracle_rows(name, pls, particles, experiment_data, curve_name, seed)
         )
 
-    svgp_path = os.path.join(models_path, "svgp-gaussian.pkl")
-    svgp_likelihood = GaussianLikelihood(noise=likelihood.noise)
-    svgp_config = config["svgp"]
-    print(
-        f"  [svgp-gaussian inputs] noise={float(likelihood.noise):.6g} "
-        f"m0={float(mean_constant):.6g} "
-        f"y mean={float(np.mean(np.asarray(experiment_data.train.y))):.6g} "
-        f"std={float(np.std(np.asarray(experiment_data.train.y))):.6g} "
-        f"dtype={experiment_data.train.y.dtype} "
-        f"M={int(np.asarray(inducing_points.x).shape[0])}",
-        flush=True,
-    )
-    if os.path.exists(svgp_path):
-        svgp, _, _ = load_svgp(svgp_path, likelihood=svgp_likelihood)
-    else:
-        svgp, losses, best_learning_rate = train_svgp_runner(
-            model_name="svgp-gaussian",
-            experiment_data=experiment_data,
-            inducing_points=inducing_points,
-            kernel=pls_kernel,
-            likelihood=svgp_likelihood,
-            seed=svgp_config["seed"],
-            number_of_epochs=svgp_config["number_of_epochs"],
-            batch_size=svgp_config["batch_size"],
-            learning_rate_upper=svgp_config["learning_rate_upper"],
-            learning_rate_lower=svgp_config["learning_rate_lower"],
-            number_of_learning_rate_searches=svgp_config[
-                "number_of_learning_rate_searches"
-            ],
-            is_fixed=True,
-            observation_noise=float(likelihood.noise),
-            mean_constant=float(mean_constant),
-            early_stopper_patience=svgp_config["early_stopper_patience"],
-            models_path=os.path.join(models_path, "svgp-kernel-iterations"),
-        )
-        if svgp is not None:
-            save_svgp(svgp_path, svgp, losses, best_learning_rate)
-    if svgp is None:
-        # every learning-rate candidate diverged to non-finite parameters —
-        # record the PLS rows (already in ``rows``) and leave the svgp cells
-        # absent; the section renderer pairs on common seeds so a missing
-        # baseline never fabricates a delta
+    if "svgp-gaussian" in models_requested:
+        svgp_path = os.path.join(models_path, "svgp-gaussian.pkl")
+        svgp_likelihood = GaussianLikelihood(noise=likelihood.noise)
+        svgp_config = config["svgp"]
         print(
-            f"[poisson-study] svgp-gaussian diverged at every learning rate "
-            f"({curve_name} seed={seed}) — skipping its rows",
+            f"  [svgp-gaussian inputs] noise={float(likelihood.noise):.6g} "
+            f"m0={float(mean_constant):.6g} "
+            f"y mean={float(np.mean(np.asarray(experiment_data.train.y))):.6g} "
+            f"std={float(np.std(np.asarray(experiment_data.train.y))):.6g} "
+            f"dtype={experiment_data.train.y.dtype} "
+            f"M={int(np.asarray(inducing_points.x).shape[0])}",
             flush=True,
         )
-    else:
-        calculate_metrics(
-            model=svgp,
-            model_name="svgp-gaussian",
-            dataset_name=curve_name,
-            experiment_data=experiment_data,
-            results_path=results_path,
-            plots_path=plots_path,
-            coverage=config["metrics"]["coverage"] if "metrics" in config else 0.95,
-        )
-        rows.extend(
-            _oracle_rows("svgp-gaussian", svgp, None, experiment_data, curve_name, seed)
-        )
+        if os.path.exists(svgp_path):
+            svgp, _, _ = load_svgp(svgp_path, likelihood=svgp_likelihood)
+        else:
+            svgp, losses, best_learning_rate = train_svgp_runner(
+                model_name="svgp-gaussian",
+                experiment_data=experiment_data,
+                inducing_points=inducing_points,
+                kernel=pls_kernel,
+                likelihood=svgp_likelihood,
+                seed=svgp_config["seed"],
+                number_of_epochs=svgp_config["number_of_epochs"],
+                batch_size=svgp_config["batch_size"],
+                learning_rate_upper=svgp_config["learning_rate_upper"],
+                learning_rate_lower=svgp_config["learning_rate_lower"],
+                number_of_learning_rate_searches=svgp_config[
+                    "number_of_learning_rate_searches"
+                ],
+                is_fixed=True,
+                observation_noise=float(likelihood.noise),
+                mean_constant=float(mean_constant),
+                early_stopper_patience=svgp_config["early_stopper_patience"],
+                models_path=os.path.join(models_path, "svgp-kernel-iterations"),
+            )
+            if svgp is not None:
+                save_svgp(svgp_path, svgp, losses, best_learning_rate)
+        if svgp is None:
+            # every learning-rate candidate diverged to non-finite parameters —
+            # record the PLS rows (already in ``rows``) and leave the svgp cells
+            # absent; the section renderer pairs on common seeds so a missing
+            # baseline never fabricates a delta
+            print(
+                f"[poisson-study] svgp-gaussian diverged at every learning rate "
+                f"({curve_name} seed={seed}) — skipping its rows",
+                flush=True,
+            )
+        else:
+            calculate_metrics(
+                model=svgp,
+                model_name="svgp-gaussian",
+                dataset_name=curve_name,
+                experiment_data=experiment_data,
+                results_path=results_path,
+                plots_path=plots_path,
+                coverage=config["metrics"]["coverage"] if "metrics" in config else 0.95,
+            )
+            rows.extend(
+                _oracle_rows("svgp-gaussian", svgp, None, experiment_data, curve_name, seed)
+            )
 
     # consolidate this cell's metric CSVs + oracle rows into the long CSV
-    for model in ("pls-onb", "pls-onb-m0", "pls-ipb", "svgp-gaussian"):
+    for model in models_requested:
         for split in ("train", "test"):
             for metric in ("nll", "mse", "mae"):
                 f = os.path.join(results_path, model, f"{metric}_{split}.csv")
@@ -306,26 +349,49 @@ def main() -> None:
     )
     curve_ids = [int(c) for c in args.curves.split(",") if c]
     seeds = [int(s) for s in args.seeds.split(",") if s]
+    requested = tuple(m for m in args.models.split(",") if m)
     done = None
     if os.path.exists(LONG_CSV):
         done = pd.read_csv(LONG_CSV)
+
+    def _committed(curve_name: str, seed: int, model: str) -> bool:
+        if done is None:
+            return False
+        return bool(
+            (
+                (done.curve == curve_name)
+                & (done.seed == seed)
+                & (done.model == model)
+                & (done.metric == "nll")
+                & (done.split == "test")
+            ).any()
+        )
+
     for curve_id in curve_ids:
         curve_function = CURVE_FUNCTIONS[curve_id - 1]
         curve_name = type(curve_function).__name__.lower()
         for seed in seeds:
-            # keyed on the PLS rows: a cell whose svgp baseline diverged (a
-            # deterministic outcome — retrying cannot change it) still counts
-            # as done, its svgp cells simply stay absent from the long CSV
-            if done is not None and (
-                (done.curve == curve_name)
-                & (done.seed == seed)
-                & (done.model == "pls-onb-m0")
-                & (done.metric == "nll")
-                & (done.split == "test")
-            ).any():
+            missing = []
+            for m in requested:
+                if m == "svgp-gaussian":
+                    # a cell whose svgp baseline diverged (a deterministic
+                    # outcome — retrying cannot change it) still counts as
+                    # done when the cell itself completed (pls-onb-m0 proxy);
+                    # its svgp rows simply stay absent from the long CSV
+                    if _committed(curve_name, seed, m) or _committed(
+                        curve_name, seed, "pls-onb-m0"
+                    ):
+                        continue
+                elif _committed(curve_name, seed, m):
+                    continue
+                missing.append(m)
+            if not missing:
                 print(f"[poisson-study] skip (committed): {curve_name} seed={seed}")
                 continue
-            run_cell(curve_function, seed, config, outputs_path)
+            run_cell(
+                curve_function, seed, config, outputs_path,
+                models_requested=tuple(missing),
+            )
 
 
 if __name__ == "__main__":
