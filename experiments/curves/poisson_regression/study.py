@@ -94,10 +94,11 @@ parser.add_argument(
 # SVGP-Gaussian baseline.
 HS_RECIPE = dict(
     simulation_duration=0.5,
-    early_stopper_patience=100.0,  # sim-time units: never fires before T
+    early_stopper_patience=0.1,  # sim-time units, 20% of T (vs the demo's 1e-3)
     maximum_number_of_steps=1_000_000,
     number_of_step_searches=4,
     step_size_upper=1.0e-3,
+    discretisation="preconditioned",
 )
 
 
@@ -190,10 +191,57 @@ def run_cell(
         "pls-ipb": PLS(basis=ipb_basis, cost=cost),
     }
     if "pls-onb-hs" in models_requested:
-        # production-protocol variant: same basis family + m0, trained under
-        # the UCI-grade budget (HS_RECIPE) instead of the demo schedule
+        # Production-protocol variant — three measured fixes over the demo
+        # stack (each isolated with /tmp-diagnostics on curve1 seed 0,
+        # round 5):
+        #   1. LINK-SPACE KERNEL: the demo learns the kernel on the raw
+        #      counts, so outputscale ~ Var(y) (~20) while the square-link
+        #      latent lives at sqrt(rate) scale (~2). The mis-scaled prior
+        #      injects variance ~20 into the held-out interval and the
+        #      predictive rate explodes (E[f^2] adds the spread). Learning
+        #      on the variance-stabilised sqrt(y + 3/8) (Anscombe) puts the
+        #      prior at the latent's true scale.
+        #   2. Consistent-KKL nystrom scaling (threshold 1e-2 for the fast
+        #      1-D eigendecay) + the Lambda-preconditioned discretisation —
+        #      the UCI headline stack for non-Gaussian costs.
+        #   3. UCI-grade budget (HS_RECIPE): the demo's duration 0.1 /
+        #      patience 1e-3 stops every chain at the first plateau
+        #      (train rate mean ~22 vs y mean ~3 on curve1).
+        hs_kernel_models = os.path.join(models_path, "hs_kernel")
+        hs_kernel_data = os.path.join(data_path, "hs_kernel")
+        create_directory(hs_kernel_models)
+        create_directory(hs_kernel_data)
+        sqrt_targets = jnp.sqrt(
+            jnp.asarray(experiment_data.train.y, dtype=jnp.float32) + 0.375
+        )
+        (_, _, _, _, hs_inducing_points, hs_kernel) = (
+            learn_kernel_and_inducing_points(
+                experiment_data=experiment_data,
+                kernel_config=config["kernel"],
+                inducing_points_config=config["inducing_points"],
+                models_path=hs_kernel_models,
+                data_path=hs_kernel_data,
+                plot_curve_path=None,
+                regression_targets=sqrt_targets,
+            )
+        )
+        hs_basis = build_orthonormal_basis(
+            kernel=hs_kernel,
+            x_induce=hs_inducing_points.x,
+            x_train=experiment_data.train.x,
+            scaling="nystrom",
+            relative_eigenvalue_threshold=1e-2,
+        )
+        hs_m0 = fit_mean_constant_map(
+            basis=hs_basis,
+            cost=cost,
+            initial_constant=float(
+                np.sqrt(float(np.mean(np.asarray(experiment_data.train.y))) + 0.5)
+            ),
+        )
+        print(f"  [hs m0] {hs_m0:.4f} (rate reversion {hs_m0 * hs_m0:.3f})", flush=True)
         models["pls-onb-hs"] = PLS(
-            basis=onb_basis.replace(mean_constant=m0), cost=cost
+            basis=hs_basis.replace(mean_constant=hs_m0), cost=cost
         )
     models = {n: m for n, m in models.items() if n in models_requested}
     rows = []
@@ -225,6 +273,7 @@ def run_cell(
                 seed=schedule["seed"],
                 particles=particles,
                 metric_to_optimise=schedule["metric_to_optimise"],
+                discretisation=schedule.get("discretisation", "euler"),
             )
             save_pls(pls_path, particles, None, best_lr, n_epochs, basis=pls.basis)
         calculate_metrics(
