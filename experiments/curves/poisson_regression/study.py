@@ -113,14 +113,23 @@ def _point_rate(model, particles, x):
 
 
 def _merge_rows(rows: list[dict]) -> None:
+    """Merge under an exclusive flock: the CPU lane (reference-protocol
+    seeds) and the chip queue (hs back-fill) both append to the long CSV —
+    an unlocked read-modify-write could drop a finished cell."""
+    import fcntl
+
     create_directory(os.path.dirname(LONG_CSV))
-    fresh = pd.DataFrame(rows)
     keys = ["curve", "seed", "model", "metric", "split"]
-    if os.path.exists(LONG_CSV):
-        fresh = pd.concat([fresh, pd.read_csv(LONG_CSV)], ignore_index=True)
-    fresh.drop_duplicates(subset=keys, keep="first").sort_values(keys).to_csv(
-        LONG_CSV, index=False
-    )
+    with open(LONG_CSV + ".lock", "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        fresh = pd.DataFrame(rows)
+        if os.path.exists(LONG_CSV):
+            fresh = pd.concat([fresh, pd.read_csv(LONG_CSV)], ignore_index=True)
+        tmp = LONG_CSV + ".tmp"
+        fresh.drop_duplicates(subset=keys, keep="first").sort_values(keys).to_csv(
+            tmp, index=False
+        )
+        os.replace(tmp, LONG_CSV)
 
 
 def run_cell(
