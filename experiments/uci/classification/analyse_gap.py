@@ -528,12 +528,16 @@ def main() -> None:
                 f"{mean['pls_nll_recal'] - mean['svgp_nll_recal']:+.4f}"
             )
         if "pls_nll_temper" in sub.columns:
-            summary += (
-                f"; spread-tempered delta "
-                f"{mean['pls_nll_temper'] - mean['svgp_nll_temper']:+.4f}"
-                f" (s_pls={mean['pls_temper_s']:.2f},"
-                f" s_svgp={mean['svgp_temper_s']:.2f})"
-            )
+            ts = sub.dropna(subset=["pls_nll_temper", "svgp_nll_temper"])
+            if len(ts):
+                tmean = ts.mean(numeric_only=True)
+                summary += (
+                    f"; spread-tempered delta "
+                    f"{tmean['pls_nll_temper'] - tmean['svgp_nll_temper']:+.4f}"
+                    f" over {len(ts)} probed seeds"
+                    f" (s_pls={tmean['pls_temper_s']:.2f},"
+                    f" s_svgp={tmean['svgp_temper_s']:.2f})"
+                )
         summary += (
             f"; latent var pls/svgp = "
             f"{mean['pls_latent_var']:.3f}/{mean['svgp_latent_var']:.3f}."
