@@ -96,3 +96,39 @@ def test_temper_pls_requires_gaussian_cost():
         TemperPLS(x_calibration=x, y_calibration=y, pls=pls, particles=particles)
     # debug bypasses the check but predict returns a Bernoulli -> scale breaks;
     # the reference has the same debug semantics (temper/pls.py:24-29)
+
+
+def test_temper_pls_classification_contracts_inflated_cloud():
+    """TemperPLSClassification (new capability, round-5 mechanism fix): on a
+    cloud whose spread was artificially inflated, the fitted contraction is
+    < 1 and the calibration NLL beats the untempered predictive; s=1 being
+    in the grid guarantees it never loses on the calibration split."""
+    from projected_langevin_sampling_tpu.models.temper import (
+        TemperPLSClassification,
+    )
+
+    x, y = _data(n=40, seed=3)
+    y_bin = jnp.asarray((np.asarray(y) > 0).astype(float))
+    pls = _pls(x, y, cost_cls=BernoulliCost)
+    particles = pls.initialise_particles(128, key=0)
+    # inflate the cloud 5x around its mean — the stationary-law failure mode
+    inflated = jnp.mean(particles, axis=1, keepdims=True) + 5.0 * (
+        particles - jnp.mean(particles, axis=1, keepdims=True)
+    )
+    tempered = TemperPLSClassification(
+        x_calibration=x, y_calibration=y_bin, pls=pls, particles=inflated, key=1
+    )
+    assert tempered.scale < 1.0
+    raw_probs = jnp.mean(
+        pls.cost.link_function.transform(
+            pls.predict_untransformed_samples(particles=inflated, x=x, key=2)
+        ),
+        axis=1,
+    )
+    p = np.clip(np.asarray(raw_probs, dtype=np.float64), 1e-12, 1 - 1e-12)
+    yb = np.asarray(y_bin, dtype=np.float64)
+    raw_nll = float(-np.mean(yb * np.log(p) + (1 - yb) * np.log1p(-p)))
+    assert tempered.calibration_nll <= raw_nll + 1e-6
+    probs = tempered(x)
+    assert probs.shape == (40,)
+    assert np.all((np.asarray(probs) >= 0) & (np.asarray(probs) <= 1))
