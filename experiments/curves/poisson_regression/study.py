@@ -155,50 +155,57 @@ def run_cell(
     for p in (data_path, models_path, results_path, plots_path):
         create_directory(p)
 
-    (_, _, likelihood, mean_constant, inducing_points, pls_kernel) = (
-        learn_kernel_and_inducing_points(
-            experiment_data=experiment_data,
-            kernel_config=config["kernel"],
-            inducing_points_config=config["inducing_points"],
-            models_path=models_path,
-            data_path=data_path,
-            plot_curve_path=plots_path,
-        )
-    )
     pls_config = config["pls"]
     cost = PoissonCost(
         y_train=experiment_data.train.y, link_function=SquareLinkFunction()
     )
-    onb_basis = build_orthonormal_basis(
-        kernel=pls_kernel,
-        x_induce=inducing_points.x,
-        x_train=experiment_data.train.x,
-        scaling=pls_config.get("onb_scaling", "reference"),
+    models = {}
+    needs_raw_kernel = bool(
+        set(models_requested) & {"pls-onb", "pls-onb-m0", "pls-ipb", "svgp-gaussian"}
     )
-    ipb_basis = build_inducing_point_basis(
-        kernel=pls_kernel,
-        x_induce=inducing_points.x,
-        y_induce=inducing_points.y,
-        x_train=experiment_data.train.x,
-    )
-    # HEADLINE-STACK analogue (the UCI protocols' mean_constant=map): without
-    # a prior mean the square-link rate reverts to f^2 -> 0 on the held-out
-    # interval, so extrapolative test NLL explodes (the reference's own
-    # committed numbers show the same collapse — RESULTS.md curve-Poisson
-    # table); SVGP meanwhile reverts to its TRAINED ConstantMean. m0 gives
-    # PLS the same single empirical-Bayes scalar (models/mean_constant.py;
-    # sqrt-mean-count start because the square link is singular at f=0).
-    m0 = fit_mean_constant_map(
-        basis=onb_basis,
-        cost=cost,
-        initial_constant=float(np.sqrt(float(np.mean(np.asarray(experiment_data.train.y))) + 0.5)),
-    )
-    print(f"  [mean-constant map] m0={m0:.4f} (rate reversion {m0 * m0:.3f})", flush=True)
-    models = {
-        "pls-onb": PLS(basis=onb_basis, cost=cost),
-        "pls-onb-m0": PLS(basis=onb_basis.replace(mean_constant=m0), cost=cost),
-        "pls-ipb": PLS(basis=ipb_basis, cost=cost),
-    }
+    likelihood = mean_constant = inducing_points = pls_kernel = None
+    if needs_raw_kernel:
+        (_, _, likelihood, mean_constant, inducing_points, pls_kernel) = (
+            learn_kernel_and_inducing_points(
+                experiment_data=experiment_data,
+                kernel_config=config["kernel"],
+                inducing_points_config=config["inducing_points"],
+                models_path=models_path,
+                data_path=data_path,
+                plot_curve_path=plots_path,
+            )
+        )
+        onb_basis = build_orthonormal_basis(
+            kernel=pls_kernel,
+            x_induce=inducing_points.x,
+            x_train=experiment_data.train.x,
+            scaling=pls_config.get("onb_scaling", "reference"),
+        )
+        ipb_basis = build_inducing_point_basis(
+            kernel=pls_kernel,
+            x_induce=inducing_points.x,
+            y_induce=inducing_points.y,
+            x_train=experiment_data.train.x,
+        )
+        # HEADLINE-STACK analogue (the UCI protocols' mean_constant=map):
+        # without a prior mean the square-link rate reverts to f^2 -> 0 on
+        # the held-out interval, so extrapolative test NLL explodes (the
+        # reference's own committed numbers show the same collapse —
+        # RESULTS.md curve-Poisson table); SVGP meanwhile reverts to its
+        # TRAINED ConstantMean. m0 gives PLS the same single empirical-Bayes
+        # scalar (models/mean_constant.py; sqrt-mean-count start because the
+        # square link is singular at f=0).
+        m0 = fit_mean_constant_map(
+            basis=onb_basis,
+            cost=cost,
+            initial_constant=float(np.sqrt(float(np.mean(np.asarray(experiment_data.train.y))) + 0.5)),
+        )
+        print(f"  [mean-constant map] m0={m0:.4f} (rate reversion {m0 * m0:.3f})", flush=True)
+        models = {
+            "pls-onb": PLS(basis=onb_basis, cost=cost),
+            "pls-onb-m0": PLS(basis=onb_basis.replace(mean_constant=m0), cost=cost),
+            "pls-ipb": PLS(basis=ipb_basis, cost=cost),
+        }
     if "pls-onb-hs" in models_requested:
         # Production-protocol variant — three measured fixes over the demo
         # stack (each isolated with /tmp-diagnostics on curve1 seed 0,
