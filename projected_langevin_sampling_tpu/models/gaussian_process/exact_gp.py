@@ -16,6 +16,14 @@ import jax.numpy as jnp
 
 from projected_langevin_sampling_tpu.models.distributions import MultivariateNormal
 from projected_langevin_sampling_tpu.ops.kernels import ARDKernel
+from projected_langevin_sampling_tpu.ops.linalg import nan_rescued_cholesky
+
+# Every reference K + sigma^2 I factorisation goes through gpytorch's
+# psd_safe_cholesky retry loop implicitly (plain first, jitter escalation on
+# failure), so a bare cholesky here NaNs where the reference survives —
+# observed on iris_petal (exact duplicate rows + MLL-collapsed noise make
+# K_noisy numerically singular in fp32). nan_rescued_cholesky keeps healthy
+# inputs bit-identical to the plain factorisation.
 
 Array = jax.Array
 
@@ -59,7 +67,7 @@ class ExactGP:
         n = self.y_train.shape[0]
         mean, k = self.prior(self.x_train)
         k_noisy = k + jnp.diag(self._noise_diag())
-        chol = jnp.linalg.cholesky(k_noisy)
+        chol = nan_rescued_cholesky(k_noisy)
         resid = self.y_train - mean
         alpha = jax.scipy.linalg.cho_solve((chol, True), resid)
         logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
@@ -70,7 +78,7 @@ class ExactGP:
         x = x[:, None] if x.ndim == 1 else x
         mean_train, k_train = self.prior(self.x_train)
         k_noisy = k_train + jnp.diag(self._noise_diag())
-        chol = jnp.linalg.cholesky(k_noisy)
+        chol = nan_rescued_cholesky(k_noisy)
         k_cross = self.kernel(x, self.x_train)  # (N*, N)
         alpha = jax.scipy.linalg.cho_solve((chol, True), self.y_train - mean_train)
         mean = self.mean_constant + k_cross @ alpha

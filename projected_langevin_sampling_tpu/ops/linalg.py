@@ -131,6 +131,24 @@ def psd_safe_cholesky(matrix: Array, base_jitter: float, max_tries: int = 3) -> 
     return chol
 
 
+def nan_rescued_cholesky(matrix: Array, base_jitter: float = 1e-6, max_tries: int = 3) -> Array:
+    """gpytorch ``psd_safe_cholesky`` semantics, jit-safe: try the PLAIN
+    factorisation first (healthy inputs are BIT-IDENTICAL to
+    ``jnp.linalg.cholesky``), then escalate jitter 1e-6 -> 1e-5 -> 1e-4 and
+    keep the first finite candidate. Rescues numerically singular
+    ``K + sigma^2 I`` (e.g. iris_petal: exact duplicate rows + an
+    MLL-collapsed noise) exactly the way the reference's gpytorch solve
+    does, without perturbing any factorisation that never needed it."""
+    m = matrix.shape[-1]
+    eye = jnp.eye(m, dtype=matrix.dtype)
+    chol = jnp.linalg.cholesky(matrix)
+    for k in range(max_tries):
+        candidate = jnp.linalg.cholesky(matrix + (base_jitter * 10.0**k) * eye)
+        bad = ~jnp.all(jnp.isfinite(chol))
+        chol = jnp.where(bad, candidate, chol)
+    return chol
+
+
 def robust_cholesky(matrix: Array, max_tries: int = 6, initial_jitter: float | None = None):
     """Cholesky with escalating jitter, mirroring gpytorch's psd_safe_cholesky
     behaviour that the reference leans on implicitly via ``gpytorch.solve``.

@@ -138,3 +138,36 @@ def test_psd_safe_cholesky_escalates_and_preserves_first_candidate():
     # (c) under jit
     jitted = jax.jit(lambda mat: psd_safe_cholesky(mat, 1e-6))(bad)
     np.testing.assert_array_equal(np.asarray(jitted), np.asarray(safe))
+
+
+def test_nan_rescued_cholesky_bit_identical_when_healthy():
+    import numpy as np
+    from projected_langevin_sampling_tpu.ops.linalg import nan_rescued_cholesky
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(12, 12)).astype(np.float32)
+    spd = a @ a.T + 12 * np.eye(12, dtype=np.float32)
+    plain = np.asarray(jnp.linalg.cholesky(jnp.asarray(spd)))
+    rescued = np.asarray(nan_rescued_cholesky(jnp.asarray(spd)))
+    np.testing.assert_array_equal(plain, rescued)  # bit-identical, no jitter
+
+
+def test_nan_rescued_cholesky_rescues_duplicate_rows():
+    """iris_petal failure mode: exact duplicate inputs + collapsed noise
+    make K + sigma^2 I numerically singular in fp32 — the plain
+    factorisation NaNs, the rescue escalates jitter like gpytorch."""
+    import numpy as np
+    from projected_langevin_sampling_tpu.ops.kernels import ARDKernel
+    from projected_langevin_sampling_tpu.ops.linalg import nan_rescued_cholesky
+
+    x = np.asarray(
+        [[0.0], [0.0], [0.0], [1.0], [1.0], [2.0], [3.0], [4.0]], dtype=np.float32
+    )
+    k = ARDKernel(jnp.asarray([1.0]), jnp.asarray(25.0))(jnp.asarray(x), jnp.asarray(x))
+    # the failure is an fp32 phenomenon (the sweeps run PLST_X64=0); the
+    # test conftest enables x64, so pin the dtype explicitly
+    k_noisy = (k + 1e-9 * jnp.eye(len(x), dtype=k.dtype)).astype(jnp.float32)
+    plain = jnp.linalg.cholesky(k_noisy)
+    rescued = nan_rescued_cholesky(k_noisy)
+    assert not bool(jnp.all(jnp.isfinite(plain)))  # the failure is real
+    assert bool(jnp.all(jnp.isfinite(rescued)))
