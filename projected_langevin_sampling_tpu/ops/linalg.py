@@ -132,21 +132,36 @@ def psd_safe_cholesky(matrix: Array, base_jitter: float, max_tries: int = 3) -> 
 
 
 def nan_rescued_cholesky(matrix: Array, base_jitter: float = 1e-6, max_tries: int = 3) -> Array:
-    """gpytorch ``psd_safe_cholesky`` semantics, jit-safe: try the PLAIN
-    factorisation first (healthy inputs are BIT-IDENTICAL to
+    """gpytorch ``psd_safe_cholesky`` semantics, jit-safe AND grad-safe: try
+    the PLAIN factorisation first (healthy inputs are BIT-IDENTICAL to
     ``jnp.linalg.cholesky``), then escalate jitter 1e-6 -> 1e-5 -> 1e-4 and
     keep the first finite candidate. Rescues numerically singular
     ``K + sigma^2 I`` (e.g. iris_petal: exact duplicate rows + an
-    MLL-collapsed noise) exactly the way the reference's gpytorch solve
-    does, without perturbing any factorisation that never needed it."""
+    MLL-collapsed noise) exactly the way the reference's gpytorch solve does,
+    without perturbing any factorisation that never needed it.
+
+    Implementation note: the candidates are probed under ``stop_gradient``
+    and only the SELECTED jitter's factorisation is differentiated. A
+    ``jnp.where`` over candidate factors would leak NaN cotangents from the
+    failed branch (where() does not block NaN gradients of the unselected
+    arm) — the exact-GP MLL gradient would NaN the parameters on the first
+    singular epoch, which is how iris_petal kept failing after the forward
+    pass alone was rescued."""
     m = matrix.shape[-1]
     eye = jnp.eye(m, dtype=matrix.dtype)
-    chol = jnp.linalg.cholesky(matrix)
-    for k in range(max_tries):
-        candidate = jnp.linalg.cholesky(matrix + (base_jitter * 10.0**k) * eye)
-        bad = ~jnp.all(jnp.isfinite(chol))
-        chol = jnp.where(bad, candidate, chol)
-    return chol
+    probe = jax.lax.stop_gradient(matrix)
+    jitters = jnp.asarray(
+        [0.0] + [base_jitter * 10.0**k for k in range(max_tries)],
+        dtype=matrix.dtype,
+    )
+    ok = jnp.stack(
+        [
+            jnp.all(jnp.isfinite(jnp.linalg.cholesky(probe + j * eye)))
+            for j in [0.0] + [base_jitter * 10.0**k for k in range(max_tries)]
+        ]
+    )
+    selected = jitters[jnp.argmax(ok)]  # first finite candidate (0 if none)
+    return jnp.linalg.cholesky(matrix + selected * eye)
 
 
 def robust_cholesky(matrix: Array, max_tries: int = 6, initial_jitter: float | None = None):

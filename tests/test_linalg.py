@@ -171,3 +171,26 @@ def test_nan_rescued_cholesky_rescues_duplicate_rows():
     rescued = nan_rescued_cholesky(k_noisy)
     assert not bool(jnp.all(jnp.isfinite(plain)))  # the failure is real
     assert bool(jnp.all(jnp.isfinite(rescued)))
+
+
+def test_nan_rescued_cholesky_gradient_is_finite_on_rescue():
+    """The rescue must be GRAD-safe: a jnp.where over candidates leaks NaN
+    cotangents from the failed plain branch, which NaN'd the exact-GP MLL
+    gradient (and then the parameters) on numerically singular kernels."""
+    import numpy as np
+    from projected_langevin_sampling_tpu.ops.kernels import ARDKernel
+    from projected_langevin_sampling_tpu.ops.linalg import nan_rescued_cholesky
+
+    x = jnp.asarray(
+        [[0.0], [0.0], [0.0], [1.0], [1.0], [2.0], [3.0], [4.0]],
+        dtype=jnp.float32,
+    )
+
+    def loss(log_outputscale):
+        k = ARDKernel(jnp.asarray([1.0], dtype=jnp.float32), jnp.exp(log_outputscale))(x, x)
+        k_noisy = (k + 1e-9 * jnp.eye(len(x), dtype=k.dtype)).astype(jnp.float32)
+        chol = nan_rescued_cholesky(k_noisy)
+        return jnp.sum(jnp.log(jnp.diagonal(chol)))
+
+    g = jax.grad(loss)(jnp.asarray(jnp.log(25.0), dtype=jnp.float32))
+    assert bool(jnp.isfinite(g))
