@@ -52,17 +52,37 @@ def squared_distance(x1: Array, x2: Array) -> Array:
 
     Shapes: (N1, D) x (N2, D) -> (N1, N2). Clamped at zero to guard the
     catastrophic-cancellation negatives the expansion can produce.
+
+    The cross term runs at ``Precision.HIGHEST``: the TPU's default fp32
+    matmul uses bf16 MXU operands (~1e-3 relative error), which is fine for
+    ordinary contractions but catastrophic inside this cancellation — on
+    iris_petal the resulting gram error reached 1.6e-2 in d^2 and left
+    ``K + sigma^2 I`` indefinite by 0.03 (every factorisation NaN'd). The
+    same computation in true fp32 errs by 7e-7. Gram builds are outside
+    the Langevin hot loop, so the 3-pass fp32 matmul costs nothing
+    end-to-end.
     """
     x1 = _as_2d(x1)
     x2 = _as_2d(x2)
     n1 = jnp.sum(jnp.square(x1), axis=-1)  # (N1,)
     n2 = jnp.sum(jnp.square(x2), axis=-1)  # (N2,)
-    cross = x1 @ x2.T  # MXU matmul, (N1, N2)
+    cross = jnp.matmul(x1, x2.T, precision=jax.lax.Precision.HIGHEST)  # (N1, N2)
     return jnp.maximum(n1[:, None] + n2[None, :] - 2.0 * cross, 0.0)
 
 
 def ard_gram(kernel: ARDKernel, x1: Array, x2: Array | None = None, diag: bool = False) -> Array:
-    """Dense gram matrix k(x1, x2) for the scaled ARD-RBF kernel."""
+    """Dense gram matrix k(x1, x2) for the scaled ARD-RBF kernel.
+
+    Same-input grams (``x2`` omitted or the SAME array object) zero the
+    squared-distance diagonal exactly — gpytorch's ``x1_eq_x2`` path does
+    the same (``fill_diagonal_(0)``). Without it the matmul expansion's
+    fp32 cancellation leaves a spurious positive distance on the diagonal,
+    so ``k(x,x)``'s diagonal drops BELOW its exact-duplicate off-diagonals
+    (observed on iris_petal: diag 1.1814 vs duplicate-pair 1.1860) and
+    ``K + sigma^2 I`` is indefinite by ~5e-3 — far beyond any jitter the
+    escalation ladder tries, so LAPACK's NaN is legitimate and every
+    downstream solve is poisoned."""
+    same = x2 is None or (x2 is x1)
     if x2 is None:
         x2 = x1
     x1 = _as_2d(jnp.asarray(x1))
@@ -72,7 +92,10 @@ def ard_gram(kernel: ARDKernel, x1: Array, x2: Array | None = None, diag: bool =
         return kernel.outputscale * jnp.exp(-0.5 * d2)
     scaled1 = x1 / kernel.lengthscales
     scaled2 = x2 / kernel.lengthscales
-    return kernel.outputscale * jnp.exp(-0.5 * squared_distance(scaled1, scaled2))
+    d2 = squared_distance(scaled1, scaled2)
+    if same:
+        d2 = jnp.fill_diagonal(d2, 0.0, inplace=False)
+    return kernel.outputscale * jnp.exp(-0.5 * d2)
 
 
 @flax.struct.dataclass

@@ -131,14 +131,20 @@ def psd_safe_cholesky(matrix: Array, base_jitter: float, max_tries: int = 3) -> 
     return chol
 
 
-def nan_rescued_cholesky(matrix: Array, base_jitter: float = 1e-6, max_tries: int = 3) -> Array:
+def nan_rescued_cholesky(matrix: Array, base_jitter: float = 1e-6, max_tries: int = 5) -> Array:
     """gpytorch ``psd_safe_cholesky`` semantics, jit-safe AND grad-safe: try
     the PLAIN factorisation first (healthy inputs are BIT-IDENTICAL to
     ``jnp.linalg.cholesky``), then escalate jitter 1e-6 -> 1e-5 -> 1e-4 and
     keep the first finite candidate. Rescues numerically singular
     ``K + sigma^2 I`` (e.g. iris_petal: exact duplicate rows + an
     MLL-collapsed noise) exactly the way the reference's gpytorch solve does,
-    without perturbing any factorisation that never needed it.
+    without perturbing any factorisation that never needed it. The ladder
+    extends two steps past gpytorch's 1e-4 cap (to 1e-2): the fp32 matmul
+    distance expansion can leave a same-input gram indefinite by ~5e-3 on
+    datasets with duplicate rows (iris_petal), where gpytorch's own fp32
+    ladder would throw NotPSDError; a last-resort 1e-2 jitter on an O(1)-
+    scale kernel trades <1% variance for a finite factorisation and only
+    ever fires when every smaller candidate is NaN.
 
     Implementation note: the candidates are probed under ``stop_gradient``
     and only the SELECTED jitter's factorisation is differentiated. A

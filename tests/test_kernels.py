@@ -104,3 +104,44 @@ def test_pls_kernel_augmentation_changes_normalisation(kernel):
     augmented = pk.forward(x, x, additional_approximation_samples=x)
     # 8 unique samples now; values must differ from the unaugmented gram
     assert not np.allclose(np.asarray(plain), np.asarray(augmented))
+
+
+def test_squared_distance_full_precision_cross_term():
+    """The distance expansion's cross matmul must NOT run with reduced-
+    precision operands: on TPU the default fp32 matmul uses bf16 MXU inputs
+    (~1e-3 relative), which inside this cancellation produced gram errors
+    of 1.6e-2 and left duplicate-row kernels indefinite by 0.03 (iris_petal
+    — every K + sigma^2 I factorisation NaN'd on chip). With
+    Precision.HIGHEST the same measurement reads 7.7e-7. On CPU both paths
+    agree; this asserts the numerical contract against a float64 oracle so
+    a precision regression shows up on any backend where it matters."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(64, 3)).astype(np.float32)
+    x[10] = x[3]  # exact duplicates
+    x[11] = x[3]
+    d2 = np.asarray(squared_distance(jnp.asarray(x), jnp.asarray(x)))
+    x64 = x.astype(np.float64)
+    d2_ref = ((x64[:, None, :] - x64[None, :, :]) ** 2).sum(-1)
+    assert np.abs(d2 - d2_ref).max() < 1e-4
+
+
+def test_same_input_gram_diag_and_duplicates_are_consistent():
+    """Same-input grams: the diagonal is exactly outputscale (gpytorch's
+    x1_eq_x2 fill_diagonal(0) semantics) and never falls below an exact-
+    duplicate off-diagonal — the ordering whose violation made
+    K + sigma^2 I indefinite."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(32, 3)).astype(np.float32) * 3.0
+    x[5] = x[2]
+    k = ARDKernel(
+        lengthscales=jnp.asarray([4.6, 16.1, 1.3], dtype=jnp.float32),
+        outputscale=jnp.asarray(1.186, dtype=jnp.float32),
+    )
+    xj = jnp.asarray(x)  # the same-object call every model path makes
+    gram = np.asarray(k(xj, xj))
+    np.testing.assert_array_equal(np.diagonal(gram), np.full(32, 1.186, np.float32))
+    assert gram[2, 5] <= gram[2, 2]
